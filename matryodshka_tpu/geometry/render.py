@@ -1,0 +1,141 @@
+"""MSI novel-view rendering: per-shell reprojection + over-compositing.
+
+Replaces the reference's layer-by-layer Python loops
+(geometry/projector.py:34-127, over_composite :246-265) with:
+
+  * one [P, H, W, 2] intersection coordinate stack per view,
+  * one batched gather over all shells,
+  * a closed-form over-composite via reversed cumulative products —
+    out = rgb_0*T_0 + sum_{i>=1} rgb_i * a_i * T_i with transmittance
+    T_i = prod_{j>i} (1 - a_j) — instead of a 32-step sequential loop.
+    (Layer 0 is the farthest shell; its alpha is treated as 1, matching
+    projector.py:246-265.)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from matryodshka_tpu.geometry import cameras, intersect
+from matryodshka_tpu.ops.resample import bilinear_wrap_resample
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Over-compositing (closed form).
+# ---------------------------------------------------------------------------
+
+def over_composite(rgba: Array) -> Array:
+    """Back-to-front over-composite of [..., P, 4] layers -> [..., 3].
+
+    Layer index 0 is the farthest; its alpha is ignored (treated as 1.0),
+    per projector.py:246-265.
+    """
+    rgb = rgba[..., :3]
+    alpha = rgba[..., 3:]
+    # transmittance T_i = prod_{j > i} (1 - a_j): reversed exclusive cumprod.
+    trans = _transmittance(alpha)
+    # effective alpha: layer 0 contributes fully.
+    eff_alpha = alpha.at[..., 0, :].set(1.0)
+    return jnp.sum(rgb * eff_alpha * trans, axis=-2)
+
+
+def _transmittance(alpha: Array) -> Array:
+    """T_i = prod_{j > i} (1 - a_j) along axis -2 (T_{P-1} = 1)."""
+    rev = jnp.flip(1.0 - alpha, axis=-2)
+    cp = jnp.cumprod(rev, axis=-2)
+    ecp = jnp.concatenate([jnp.ones_like(cp[..., :1, :]), cp[..., :-1, :]],
+                          axis=-2)
+    return jnp.flip(ecp, axis=-2)
+
+
+def over_composite_depth(rgba: Array) -> Array:
+    """Depth-proxy composite: value i/P per layer, layer 0 contributes 0
+    (projector.py:225-244). Input [..., P, 4] -> [..., 3]."""
+    p = rgba.shape[-2]
+    alpha = rgba[..., 3:]
+    vals = (jnp.arange(p, dtype=rgba.dtype) / p)[:, None]
+    trans = _transmittance(alpha)
+    # Layer 0's value is 0 and its alpha is ignored (output starts at 0),
+    # so only layers >= 1 contribute, each with alpha * transmittance.
+    contrib = vals * alpha * trans
+    contrib = contrib.at[..., 0, :].set(0.0)
+    out = jnp.sum(contrib, axis=-2)
+    return jnp.broadcast_to(out, out.shape[:-1] + (3,))
+
+
+# ---------------------------------------------------------------------------
+# Forward reprojection of all shells for a target view.
+# ---------------------------------------------------------------------------
+
+def _gather_layers(rgba_layers: Array, uv: Array) -> Array:
+    """Sample each shell at its own coordinate field.
+
+    rgba_layers: [H, W, P, C]; uv: [P, Ht, Wt, 2] -> [P, Ht, Wt, C].
+    """
+    layers = jnp.moveaxis(rgba_layers, 2, 0)  # [P, H, W, C]
+    return jax.vmap(bilinear_wrap_resample)(layers, uv)
+
+
+def reproject_equirect(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
+                       radii: Array) -> Array:
+    """All shells reprojected into an ERP target view.
+
+    rgba_layers: [H, W, P, 4]; tgt_pose: [4, 4]; tgt_pos: [3].
+    Returns [P, H, W, 4] (back-to-front), cf. projective_forward_sphere
+    (projector.py:34-62)."""
+    h, w = rgba_layers.shape[0], rgba_layers.shape[1]
+    uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
+    return _gather_layers(rgba_layers, uv)
+
+
+def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
+                         radii: Array) -> Array:
+    """Novel ERP view: reproject + over-composite. [H, W, P, 4] -> [H, W, 3].
+    Batch with vmap. (msi.py:407-429)"""
+    proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
+    return over_composite(jnp.moveaxis(proj, 0, 2))
+
+
+def render_equirect_depth(rgba_layers: Array, tgt_pose: Array,
+                          tgt_pos: Array, radii: Array) -> Array:
+    """Depth-proxy ERP render (msi.py:384-405)."""
+    proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
+    return over_composite_depth(jnp.moveaxis(proj, 0, 2))
+
+
+def render_ods_view(rgba_layers: Array, order: int, pose: Array,
+                    tgt_pos: Array, radii: Array,
+                    intrinsics: Array) -> Array:
+    """Re-render an ODS eye from the MSI (msi.py:502-525).
+
+    pose is the jitter pose (identity when not jittering)."""
+    h, w = rgba_layers.shape[0], rgba_layers.shape[1]
+    uv = intersect.intersect_ods(pose, tgt_pos, order, intrinsics, radii,
+                                 w, h)
+    proj = _gather_layers(rgba_layers, uv)
+    return over_composite(jnp.moveaxis(proj, 0, 2))
+
+
+def render_perspective_view(rgba_layers: Array, tgt_pos: Array, radii: Array,
+                            viewing_window: int = 3,
+                            psp_height: int = 320,
+                            psp_width: int = 640) -> Array:
+    """Perspective crop render (msi.py:475-500).
+
+    The crop direction is a yaw of viewing_window * 90 degrees
+    (projector.py:79-85); window 3 is the central view.
+    """
+    h, w = rgba_layers.shape[0], rgba_layers.shape[1]
+    angle = jnp.array([0.0, viewing_window * math.pi / 2.0, 0.0])
+    R = cameras.rotation_from_euler(angle)
+    pose = jnp.eye(4).at[:3, :3].set(R)
+    uv = intersect.intersect_perspective(pose, tgt_pos, radii, w, h,
+                                         psp_width, psp_height)
+    proj = _gather_layers(rgba_layers, uv)
+    return over_composite(jnp.moveaxis(proj, 0, 2))

@@ -1,0 +1,124 @@
+"""Bilinear resampling with horizontal/vertical wrap-around.
+
+The reference implements this with tf.gather_nd over stacked index tensors
+(geometry/sampling.py:135-197); the wrap (`tf.mod` on both axes,
+sampling.py:162-165) is load-bearing for 360-degree ERP continuity.
+
+Here it is a single flattened XLA gather: image [H, W, C] is viewed as
+[H*W, C] and the four bilinear taps become four `jnp.take(axis=0)` calls,
+which XLA lowers to one fused dynamic-gather each on TPU. Weighting happens
+in fp32 for precision regardless of the storage dtype.
+
+A Pallas fused version (coords-compute + gather + blend in VMEM) lives in
+ops/pallas_resample.py and is dispatched via `resample_stack` when enabled.
+
+There is also `bilinear_zero_resample` reproducing tf.contrib.resampler's
+zero-outside-boundary semantics (sampling.py:32-54), used by the legacy
+homography/MPI path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _gather_hw(flat_img: Array, yi: Array, xi: Array, width: int) -> Array:
+    """Gather pixels from a [H*W, C] image at integer (y, x): -> [..., C]."""
+    idx = yi * width + xi
+    return jnp.take(flat_img, idx, axis=0)
+
+
+def bilinear_wrap_resample(image: Array, coords: Array) -> Array:
+    """Bilinear sample with wrap-around on both axes.
+
+    Args:
+      image: [H, W, C] source.
+      coords: [..., 2] fractional (x, y) pixel coordinates.
+    Returns:
+      [..., C] sampled values (float32).
+    """
+    h, w, c = image.shape
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x1 = jnp.mod(x0 + 1, w)
+    y0 = jnp.mod(y0f.astype(jnp.int32), h)
+    y1 = jnp.mod(y0 + 1, h)
+
+    flat = image.reshape(h * w, c).astype(jnp.float32)
+    Ia = _gather_hw(flat, y0, x0, w)
+    Ib = _gather_hw(flat, y0, x1, w)
+    Ic = _gather_hw(flat, y1, x0, w)
+    Id = _gather_hw(flat, y1, x1, w)
+
+    wa = ((1.0 - fy) * (1.0 - fx))[..., None]
+    wb = ((1.0 - fy) * fx)[..., None]
+    wc = (fy * (1.0 - fx))[..., None]
+    wd = (fy * fx)[..., None]
+    return wa * Ia + wb * Ib + wc * Ic + wd * Id
+
+
+def bilinear_zero_resample(image: Array, coords: Array) -> Array:
+    """Bilinear sample; taps outside the image contribute zero.
+
+    Matches tf.contrib.resampler.resampler semantics (used by the
+    stereo-magnification homography path, geometry/sampling.py:32-54):
+    each of the four corner taps is included only if it lies inside
+    [0, W-1] x [0, H-1].
+    """
+    h, w, c = image.shape
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    def valid(yi, xi):
+        return ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+
+    flat = image.reshape(h * w, c).astype(jnp.float32)
+
+    def tap(yi, xi, wgt):
+        m = valid(yi, xi)
+        yi = jnp.clip(yi, 0, h - 1)
+        xi = jnp.clip(xi, 0, w - 1)
+        vals = _gather_hw(flat, yi, xi, w)
+        return (wgt * m.astype(jnp.float32))[..., None] * vals
+
+    out = (tap(y0, x0, (1 - fy) * (1 - fx))
+           + tap(y0, x1, (1 - fy) * fx)
+           + tap(y1, x0, fy * (1 - fx))
+           + tap(y1, x1, fy * fx))
+    return out
+
+
+def resample_stack(image: Array, coords: Array, wrap: bool = True,
+                   use_pallas: bool = False) -> Array:
+    """Sample one image at a [P, H, W, 2] coordinate stack -> [P, H, W, C].
+
+    This is the sweep/render workhorse: one source image gathered at
+    num_planes coordinate fields. Dispatches to the Pallas fused kernel on
+    TPU when requested, else the XLA gather path.
+    """
+    if use_pallas and wrap:
+        from matryodshka_tpu.ops import pallas_resample
+        out = pallas_resample.resample_stack_pallas(image, coords)
+        if out is not None:
+            return out
+    fn = bilinear_wrap_resample if wrap else bilinear_zero_resample
+    return fn(image, coords)
