@@ -1,0 +1,240 @@
+"""MSI model: inference (PSV -> RGBA shells) and rendering, as pure functions.
+
+Functional replacement for the reference's `class MSI` graph builder
+(matryodshka/msi.py:33-1217). Every pose/inverse is an explicit argument
+(the reference smuggles ref_pose_inv / jitter_pose_inv / intrinsics_inv
+through the default graph by tensor name, msi.py:1113-1120).
+
+Layer assembly is vectorized over the plane axis: the reference's
+32-iteration concat loops (msi.py:136-147 etc.) become one reshape + one
+fused elementwise blend.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.geometry import render as render_lib
+from matryodshka_tpu.geometry import sweep as sweep_lib
+from matryodshka_tpu.geometry.homography import mpi_render_view
+from matryodshka_tpu.ops.resample import bilinear_wrap_resample
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Pre/de-processing (msi.py:1163-1194).
+# ---------------------------------------------------------------------------
+
+def preprocess_image(image: Array) -> Array:
+    """[0, 1] float -> [-1, 1]."""
+    return image * 2.0 - 1.0
+
+
+def deprocess_image(image: Array) -> Array:
+    """[-1, 1] -> [0, 1] float (clipping deferred to image IO)."""
+    return (image + 1.0) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Bilinear upsampling with align_corners (for hres blend-weight reuse,
+# msi.py:151-152 uses tf.image.resize(..., align_corners=True)).
+# ---------------------------------------------------------------------------
+
+def upsample_align_corners(img: Array, out_h: int, out_w: int) -> Array:
+    """Bilinear resize of [B, H, W, C] with align_corners=True semantics."""
+    b, h, w, c = img.shape
+    ys = jnp.linspace(0.0, h - 1.0, out_h)
+    xs = jnp.linspace(0.0, w - 1.0, out_w)
+    X, Y = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([X, Y], axis=-1)
+    return jax.vmap(lambda im: bilinear_wrap_resample(im, coords))(img)
+
+
+# ---------------------------------------------------------------------------
+# RGBA layer assembly — the four color-prediction schemes (msi.py:108-273).
+# ---------------------------------------------------------------------------
+
+def assemble_rgba(which_color_pred: str, msi_pred: Array, net_input: Array,
+                  num_planes: int) -> Dict[str, Array]:
+    """CNN output + PSV -> RGBA shells.
+
+    Args:
+      msi_pred: [B, H, W, K] tanh outputs in (-1, 1).
+      net_input: [B, H, W, 2*P*3] double PSV (rgb in [-1, 1]) for the
+        blend_psv/blend_bg_psv schemes; [B, H, W, >=P*3] otherwise.
+    Returns dict with 'rgba_layers' [B, H, W, P, 4] plus the scheme's
+    intermediates ('blend_weights', 'alphas', 'bg_blend_weights').
+    """
+    b, h, w, _ = net_input.shape
+    p = num_planes
+    fg = net_input[..., :p * 3].reshape(b, h, w, p, 3)
+
+    out: Dict[str, Array] = {}
+    if which_color_pred == "blend_psv":
+        blend = (msi_pred[..., :p] + 1.0) / 2.0
+        alphas = (msi_pred[..., p:2 * p] + 1.0) / 2.0
+        bg = net_input[..., p * 3:2 * p * 3].reshape(b, h, w, p, 3)
+        wgt = blend[..., None]
+        rgb = wgt * fg + (1.0 - wgt) * bg
+        out["blend_weights"] = blend
+        out["alphas"] = alphas
+    elif which_color_pred == "blend_bg":
+        blend = (msi_pred[..., :p] + 1.0) / 2.0
+        alphas = (msi_pred[..., p:2 * p] + 1.0) / 2.0
+        bg_rgb = msi_pred[..., -3:][..., None, :]  # [B,H,W,1,3]
+        wgt = blend[..., None]
+        rgb = wgt * fg + (1.0 - wgt) * bg_rgb
+        out["blend_weights"] = blend
+        out["alphas"] = alphas
+    elif which_color_pred == "blend_bg_psv":
+        blend = (msi_pred[..., :p] + 1.0) / 2.0
+        alphas = (msi_pred[..., p:2 * p] + 1.0) / 2.0
+        bg_blend = (msi_pred[..., 2 * p:3 * p] + 1.0) / 2.0
+        pred_bg = msi_pred[..., -3:][..., None, :]
+        bg = net_input[..., p * 3:2 * p * 3].reshape(b, h, w, p, 3)
+        wgt = blend[..., None]
+        rgb = wgt * fg + (1.0 - wgt) * bg
+        bgw = bg_blend[..., None]
+        rgb = bgw * rgb + (1.0 - bgw) * pred_bg
+        out["blend_weights"] = blend
+        out["alphas"] = alphas
+        out["bg_blend_weights"] = bg_blend
+    elif which_color_pred == "alpha_only":
+        alphas = (msi_pred[..., :p] + 1.0) / 2.0
+        rgb = fg
+        out["alphas"] = alphas
+    else:
+        raise ValueError(which_color_pred)
+
+    out["rgba_layers"] = jnp.concatenate(
+        [rgb, out["alphas"][..., None]], axis=-1)
+    return out
+
+
+def assemble_hres_rgba(which_color_pred: str, outputs: Dict[str, Array],
+                       hres_net_input: Array, num_planes: int,
+                       hres_h: int, hres_w: int) -> Array:
+    """Upsampled-weight high-res assembly (msi.py:149-165, 196-212):
+    blend weights/alphas predicted at low res are bilinearly upsampled
+    (align_corners) and applied to the high-res PSV."""
+    b = hres_net_input.shape[0]
+    p = num_planes
+    fg = hres_net_input[..., :p * 3].reshape(b, hres_h, hres_w, p, 3)
+    u_alphas = upsample_align_corners(outputs["alphas"], hres_h, hres_w)
+    if which_color_pred == "blend_psv":
+        u_blend = upsample_align_corners(outputs["blend_weights"],
+                                         hres_h, hres_w)
+        bg = hres_net_input[..., p * 3:2 * p * 3].reshape(
+            b, hres_h, hres_w, p, 3)
+        wgt = u_blend[..., None]
+        rgb = wgt * fg + (1.0 - wgt) * bg
+    elif which_color_pred == "blend_bg":
+        raise NotImplementedError(
+            "hres blend_bg needs the predicted bg upsample; use blend_psv")
+    else:
+        rgb = fg
+    return jnp.concatenate([rgb, u_alphas[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full inference: images -> PSV -> CNN -> RGBA shells (msi.py:40-289).
+# ---------------------------------------------------------------------------
+
+def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
+              psv_depths: Array,
+              jitter_pose_inv: Optional[Array] = None,
+              with_hres: bool = False) -> Dict[str, Array]:
+    """Run PSV formatting + CNN + layer assembly.
+
+    Args:
+      apply_fn: the U-Net apply function (params, net_input) -> msi_pred.
+      batch: dict with ref_image/src_image [B,H,W,3] in [0,1],
+        ref_pose/src_pose/ref_pose_inv [B,4,4], intrinsics [B,3,3]
+        (+ hres_ref_image/hres_src_image when with_hres).
+      jitter_pose_inv: [B,4,4] inverse jitter pose for the
+        transform-inverse branch (None = unjittered).
+    Returns dict with rgba_layers, psv (net_input), blend_weights/alphas
+    (+ hres_rgba_layers when with_hres).
+    """
+    ref = preprocess_image(batch["ref_image"])
+    src = preprocess_image(batch["src_image"])
+
+    if cfg.input_type == "REALESTATE_PP":
+        net_input = sweep_lib.format_realestate_network_input(
+            ref, src, batch["ref_pose"], batch["src_pose"], psv_depths,
+            batch["intrinsics"], jitter_pose_inv=jitter_pose_inv)
+    else:
+        net_input = sweep_lib.format_network_input(
+            ref, src, batch["ref_pose"], batch["src_pose"],
+            batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
+            input_type=cfg.input_type, jitter_pose_inv=jitter_pose_inv,
+            use_pallas=cfg.use_pallas)
+
+    msi_pred = apply_fn(params, net_input)
+    outputs = assemble_rgba(cfg.which_color_pred, msi_pred, net_input,
+                            cfg.num_msi_planes)
+    outputs["psv"] = net_input
+
+    if with_hres:
+        hres_ref = preprocess_image(batch["hres_ref_image"])
+        hres_src = preprocess_image(batch["hres_src_image"])
+        hres_net_input = sweep_lib.format_network_input(
+            hres_ref, hres_src, batch["ref_pose"], batch["src_pose"],
+            batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
+            input_type=cfg.input_type, jitter_pose_inv=jitter_pose_inv,
+            use_pallas=cfg.use_pallas)
+        outputs["hres_rgba_layers"] = assemble_hres_rgba(
+            cfg.which_color_pred, outputs, hres_net_input,
+            cfg.num_msi_planes, cfg.hres_height, cfg.hres_width)
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# Batched rendering wrappers (vmap over the single-example renderers).
+# ---------------------------------------------------------------------------
+
+def render_equirect_view(rgba_layers: Array, tgt_pose_rt: Array,
+                         tgt_pos: Array, radii: Array) -> Array:
+    """[B, H, W, P, 4] + [B, 4, 4] + [B, 3] -> [B, H, W, 3]."""
+    return jax.vmap(
+        lambda L, po, c: render_lib.render_equirect_view(L, po, c, radii)
+    )(rgba_layers, tgt_pose_rt, tgt_pos)
+
+
+def render_equirect_depth(rgba_layers: Array, tgt_pose_rt: Array,
+                          tgt_pos: Array, radii: Array) -> Array:
+    return jax.vmap(
+        lambda L, po, c: render_lib.render_equirect_depth(L, po, c, radii)
+    )(rgba_layers, tgt_pose_rt, tgt_pos)
+
+
+def render_ods_view(rgba_layers: Array, order: int, pose: Array,
+                    tgt_pos: Array, radii: Array, intrinsics: Array
+                    ) -> Array:
+    return jax.vmap(
+        lambda L, po, c, K: render_lib.render_ods_view(L, order, po, c,
+                                                       radii, K)
+    )(rgba_layers, pose, tgt_pos, intrinsics)
+
+
+def render_perspective_view(rgba_layers: Array, tgt_pos: Array,
+                            radii: Array, viewing_window: int = 3,
+                            psp_height: int = 270,
+                            psp_width: int = 480) -> Array:
+    return jax.vmap(
+        lambda L, c: render_lib.render_perspective_view(
+            L, c, radii, viewing_window, psp_height, psp_width)
+    )(rgba_layers, tgt_pos)
+
+
+def render_mpi_view(rgba_layers: Array, tgt_pose: Array, radii: Array,
+                    intrinsics: Array) -> Array:
+    """Perspective MPI render for PP/RealEstate inputs (msi.py:527-548)."""
+    return jax.vmap(
+        lambda L, po, K: mpi_render_view(L, po, radii, K)
+    )(rgba_layers, tgt_pose, intrinsics)

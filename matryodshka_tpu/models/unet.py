@@ -1,0 +1,181 @@
+"""The MSI prediction U-Net, as a single flax module.
+
+The reference maintains three near-identical network definitions —
+msi_train_net (slim + wrap_pad, nets.py:387-469), msi_inference_net
+(explicit pad/slice for export, nets.py:297-385) and the CoordNet twins
+(nets.py:471-618). Because XLA export works straight from the jitted
+function, one definition suffices here, with two variants:
+
+  * variant="wrap":  horizontal wrap padding + vertical zero padding before
+    every VALID conv (matching wrap_pad, nets.py:288-295) — the 360-degree
+    continuity-aware default. Transposed convs wrap-pad by 2, run VALID,
+    and crop 5 px per side (the nets.py:427-429 alignment).
+  * variant="coord": SAME padding with an |sin(latitude)| coordinate
+    channel appended before every encoder/decoder conv
+    (add_sph_coords, nets.py:260-265) — the released checkpoints' variant.
+
+Topology (both variants, nets.py:403-450): 3-level encoder with stride-2
+downsampling, a 3-conv dilated (rate 2) bottleneck, decoder with skip
+concats and 4x4 stride-2 transposed convs, 1x1 tanh head.
+
+Normalization is layer norm over (H, W, C) with per-channel scale/offset
+(slim.layer_norm semantics), computed in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def wrap_pad(x: Array, left: int, right: int) -> Array:
+    """Horizontal wrap padding + vertical zero padding (nets.py:288-295).
+
+    x: [B, H, W, C]; pads W by wrapping, H by zeros, both by (left, right).
+    """
+    l = x[:, :, -left:, :]
+    r = x[:, :, :right, :]
+    x = jnp.concatenate([l, x, r], axis=2)
+    return jnp.pad(x, ((0, 0), (left, right), (0, 0), (0, 0)))
+
+
+def sph_coord_channel(h: int, w: int, dtype=jnp.float32) -> Array:
+    """|sin(latitude)| channel, [1, H, W, 1] (add_sph_coords,
+    nets.py:260-265): 1 at the poles, 0 at the equator."""
+    lat = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, h, dtype=jnp.float32)
+    col = jnp.abs(jnp.sin(lat))
+    return jnp.broadcast_to(col[None, :, None, None], (1, h, w, 1)).astype(
+        dtype)
+
+
+class SpatialLayerNorm(nn.Module):
+    """Layer norm over (H, W, C) with per-channel scale/offset.
+
+    Matches tf.contrib slim.layer_norm (begin_norm_axis=1,
+    begin_params_axis=-1), computed in float32 regardless of input dtype.
+    """
+    epsilon: float = 1e-12
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+        beta = self.param("beta", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        gamma = self.param("gamma", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+class MSIUNet(nn.Module):
+    """MSI blend-weight / alpha prediction network.
+
+    Attributes:
+      num_outputs: output channels (see MatryConfig.num_net_outputs).
+      ngf: base filter count (64 in all released configs).
+      variant: "wrap" | "coord" (see module docstring).
+      dtype: compute dtype (bfloat16 recommended on TPU).
+      param_dtype: parameter dtype (float32).
+    """
+    num_outputs: int
+    ngf: int = 64
+    variant: str = "wrap"
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def _conv(self, x: Array, feats: int, name: str, stride: int = 1,
+              rate: int = 1) -> Array:
+        """3x3 conv + layer norm + relu, padded per variant."""
+        if self.variant == "coord":
+            b, h, w, _ = x.shape
+            coord = jnp.broadcast_to(
+                sph_coord_channel(h, w, x.dtype), (b, h, w, 1))
+            x = jnp.concatenate([x, coord], axis=-1)
+            pad = "SAME"
+        else:
+            x = wrap_pad(x, rate, rate)
+            pad = "VALID"
+        y = nn.Conv(feats, (3, 3), strides=(stride, stride), padding=pad,
+                    kernel_dilation=(rate, rate), dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=name)(x)
+        y = SpatialLayerNorm(param_dtype=self.param_dtype,
+                             name=name + "_ln")(y)
+        return nn.relu(y)
+
+    def _deconv(self, x: Array, feats: int, name: str) -> Array:
+        """4x4 stride-2 transposed conv + layer norm + relu."""
+        if self.variant == "coord":
+            y = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=name)(x)
+        else:
+            x = wrap_pad(x, 2, 2)
+            y = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=name)(x)
+            y = y[:, 5:-5, 5:-5, :]
+        y = SpatialLayerNorm(param_dtype=self.param_dtype,
+                             name=name + "_ln")(y)
+        return nn.relu(y)
+
+    @nn.compact
+    def __call__(self, net_input: Array) -> Array:
+        ngf = self.ngf
+        x = net_input.astype(self.dtype)
+
+        cnv1_1 = self._conv(x, ngf, "conv1_1")
+        cnv1_2 = self._conv(cnv1_1, ngf * 2, "conv1_2", stride=2)
+
+        cnv2_1 = self._conv(cnv1_2, ngf * 2, "conv2_1")
+        cnv2_2 = self._conv(cnv2_1, ngf * 4, "conv2_2", stride=2)
+
+        cnv3_1 = self._conv(cnv2_2, ngf * 4, "conv3_1")
+        cnv3_2 = self._conv(cnv3_1, ngf * 4, "conv3_2")
+        cnv3_3 = self._conv(cnv3_2, ngf * 8, "conv3_3", stride=2)
+
+        cnv4_1 = self._conv(cnv3_3, ngf * 8, "conv4_1", rate=2)
+        cnv4_2 = self._conv(cnv4_1, ngf * 8, "conv4_2", rate=2)
+        cnv4_3 = self._conv(cnv4_2, ngf * 8, "conv4_3", rate=2)
+
+        skip = jnp.concatenate([cnv4_3, cnv3_3], axis=3)
+        cnv6_1 = self._deconv(skip, ngf * 4, "conv6_1")
+        cnv6_2 = self._conv(cnv6_1, ngf * 4, "conv6_2")
+        cnv6_3 = self._conv(cnv6_2, ngf * 4, "conv6_3")
+
+        skip = jnp.concatenate([cnv6_3, cnv2_2], axis=3)
+        cnv7_1 = self._deconv(skip, ngf * 2, "conv7_1")
+        cnv7_2 = self._conv(cnv7_1, ngf * 2, "conv7_2")
+
+        skip = jnp.concatenate([cnv7_2, cnv1_2], axis=3)
+        cnv8_1 = self._deconv(skip, ngf, "conv8_1")
+        cnv8_2 = self._conv(cnv8_1, ngf, "conv8_2")
+
+        pred = nn.Conv(self.num_outputs, (1, 1), padding="VALID",
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="color_pred")(cnv8_2)
+        return jnp.tanh(pred).astype(jnp.float32)
+
+
+def atlas_pack(pred: Array, height: int, width: int,
+               channels: int = 64) -> Array:
+    """Pack CNN output channels into an 8x(C/8) image atlas.
+
+    Mirrors the export-time msi_output tiling (nets.py:370-385): channels
+    -> a [1, 8*H, (C/8)*W] mosaic consumed by external runtimes.
+    """
+    cols = channels // 8
+    x = jnp.transpose(pred[..., :channels], (0, 3, 1, 2))
+    x = x.reshape(1, 8, cols, height, width)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(1, 8 * height, cols * width)

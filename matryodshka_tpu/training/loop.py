@@ -1,0 +1,112 @@
+"""The training loop: step pacing, summaries, checkpoints, profiling.
+
+Covers MSI.train (msi.py:971-1022): per-step timing logged every
+summary_freq steps, checkpoint every save_latest_freq (max_to_keep=10),
+resume from latest with continue_train. Observability is a metrics JSONL
+(scalars) + periodic PNG dumps of the current render and a few MSI layers
+(the reference's TensorBoard image summaries, msi.py:735-774), plus an
+optional jax.profiler trace window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.data.images import write_image
+from matryodshka_tpu.training.checkpoint import CheckpointManager
+from matryodshka_tpu.training.state import TrainState, param_count
+
+
+class SummaryWriter:
+    """Scalars to JSONL + images to PNG under a log dir."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._fh = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def scalars(self, step: int, metrics: Dict[str, float]) -> None:
+        rec = {"step": step}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def image(self, step: int, name: str, img: np.ndarray) -> None:
+        write_image(os.path.join(self.log_dir,
+                                 f"{name}_{step:08d}.png"), img)
+
+    def close(self):
+        self._fh.close()
+
+
+def train(cfg: MatryConfig,
+          state: TrainState,
+          train_step: Callable,
+          batches: Iterator[Dict],
+          image_summary_fn: Optional[Callable] = None,
+          profile_steps: Optional[tuple] = None) -> TrainState:
+    """Run the training loop until cfg.max_steps.
+
+    Args:
+      train_step: jitted (state, batch, rng) -> (state, metrics).
+      batches: iterator of device-ready batch dicts.
+      image_summary_fn: optional (state, batch) -> {name: HxWx3} images,
+        called every summary_freq steps.
+      profile_steps: optional (start, stop) step numbers for a
+        jax.profiler trace written under the checkpoint dir.
+    """
+    ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.experiment_name)
+    manager = CheckpointManager(ckpt_dir, max_to_keep=10)
+    writer = SummaryWriter(os.path.join(ckpt_dir, "logs"))
+
+    if cfg.continue_train:
+        latest = manager.latest_step()
+        if latest is not None:
+            state = manager.restore(state, latest)
+            print(f"[train] resumed from step {latest}")
+        else:
+            print("[train] no checkpoint to resume from; starting fresh")
+
+    print(f"[train] parameter count: {param_count(state.params):,}")
+    rng = jax.random.PRNGKey(cfg.random_seed)
+
+    start_step = int(state.step)
+    t0 = time.time()
+    for step_i, batch in enumerate(batches, start=start_step + 1):
+        if step_i > cfg.max_steps:
+            break
+        if profile_steps and step_i == profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(ckpt_dir, "profile"))
+        arrays = {k: v for k, v in batch.items()
+                  if not isinstance(v, (list, str))}
+        state, metrics = train_step(state, arrays,
+                                    jax.random.fold_in(rng, step_i))
+        if profile_steps and step_i == profile_steps[1]:
+            jax.tree.map(lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+
+        if step_i % cfg.summary_freq == 0:
+            metrics = jax.device_get(metrics)
+            dt = (time.time() - t0) / cfg.summary_freq
+            t0 = time.time()
+            writer.scalars(step_i, {**metrics, "sec_per_step": dt})
+            print(f"[step {step_i:8d}] loss={metrics['total_loss']:.5f} "
+                  f"{dt:.4f}s/it")
+            if image_summary_fn is not None:
+                for name, img in image_summary_fn(state, arrays).items():
+                    writer.image(step_i, name, np.asarray(img))
+
+        if step_i % cfg.save_latest_freq == 0:
+            manager.save(state)
+            print(f"[train] saved checkpoint @ {step_i}")
+
+    manager.save(state)
+    writer.close()
+    return state

@@ -1,0 +1,117 @@
+"""Data pipeline tests on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.data import parsers, synthetic
+from matryodshka_tpu.data.loader import (OdsLoader, RealEstateLoader,
+                                         device_prefetch)
+
+
+@pytest.fixture(scope="module")
+def ods_fixture(tmp_path_factory):
+    out = tmp_path_factory.mktemp("odsdata")
+    glob_pat = synthetic.make_ods_fixture(str(out), num_scenes=2,
+                                          height=32, width=64)
+    return str(out), glob_pat
+
+
+@pytest.fixture(scope="module")
+def re_fixture(tmp_path_factory):
+    out = tmp_path_factory.mktemp("redata")
+    glob_pat = synthetic.make_realestate_fixture(str(out), num_seqs=1,
+                                                 frames=12, height=32,
+                                                 width=64)
+    return str(out), glob_pat
+
+
+def test_ods_parser(ods_fixture):
+    root, glob_pat = ods_fixture
+    seqs = parsers.load_ods_sequences(glob_pat)
+    assert len(seqs) == 4  # 2 scenes x 2 groups
+    s = seqs[0]
+    assert s.scene_id == "scene00"
+    assert len(s.image_ids) == 3
+    assert s.baseline == pytest.approx(0.032)
+    assert s.tgt_pos.shape == (3,)
+
+
+def test_ods_loader_batch_contract(ods_fixture):
+    root, glob_pat = ods_fixture
+    cfg = MatryConfig(height=32, width=64, batch_size=2,
+                      cameras_glob=glob_pat,
+                      image_dir=os.path.join(root, "images"))
+    loader = OdsLoader(cfg, training=True)
+    batch = next(loader.batches())
+    assert batch["ref_image"].shape == (2, 32, 64, 3)
+    assert batch["tgt_image"].dtype == np.float32
+    assert 0.0 <= batch["tgt_image"].min() <= batch["tgt_image"].max() <= 1.0
+    assert batch["intrinsics"].shape == (2, 3, 3)
+    np.testing.assert_allclose(batch["intrinsics"][:, 0, 0], 0.032,
+                               atol=1e-6)
+    np.testing.assert_allclose(batch["ref_pose"][0], np.eye(4))
+    np.testing.assert_allclose(batch["tgt_pose_rt"][0, :3, 3],
+                               batch["tgt_pose"][0])
+
+
+def test_ods_loader_eval_order_and_repeat(ods_fixture):
+    root, glob_pat = ods_fixture
+    cfg = MatryConfig(height=32, width=64, batch_size=1,
+                      cameras_glob=glob_pat,
+                      image_dir=os.path.join(root, "images"))
+    loader = OdsLoader(cfg, training=False)
+    batches = list(loader.batches())
+    assert len(batches) == 4
+    loader2 = OdsLoader(cfg, training=False, repeat_sample=3)
+    assert len(list(loader2.batches())) == 12
+
+
+def test_device_prefetch(ods_fixture):
+    root, glob_pat = ods_fixture
+    cfg = MatryConfig(height=32, width=64, batch_size=1,
+                      cameras_glob=glob_pat,
+                      image_dir=os.path.join(root, "images"))
+    loader = OdsLoader(cfg, training=False)
+    n = 0
+    for batch in device_prefetch(loader.batches()):
+        assert hasattr(batch["ref_image"], "devices")
+        assert isinstance(batch["scene_id"], list)
+        n += 1
+    assert n == 4
+
+
+def test_realestate_parser_and_loader(re_fixture):
+    root, glob_pat = re_fixture
+    seqs = parsers.load_realestate_sequences(glob_pat)
+    assert len(seqs) == 1
+    assert seqs[0].seq_id == "vid0000"
+    assert len(seqs[0]) == 12
+    assert seqs[0].poses.shape == (12, 3, 4)
+
+    cfg = MatryConfig(height=32, width=64, batch_size=1,
+                      input_type="REALESTATE_PP", cameras_glob=glob_pat,
+                      image_dir=os.path.join(root, "images"))
+    loader = RealEstateLoader(cfg, training=True, shuffle_seq_length=5)
+    batch = next(loader.batches())
+    assert batch["ref_image"].shape == (1, 32, 64, 3)
+    assert batch["intrinsics"].shape == (1, 3, 3)
+    assert batch["tgt_pose"].shape == (1, 4, 4)
+    np.testing.assert_allclose(
+        batch["ref_pose_inv"][0] @ batch["ref_pose"][0], np.eye(4),
+        atol=1e-5)
+
+
+def test_realestate_subsequence_ops(re_fixture):
+    root, glob_pat = re_fixture
+    seq = parsers.load_realestate_sequences(glob_pat)[0]
+    sub = seq.subsequence(2, 8, 2)
+    assert len(sub) == 3
+    assert sub.timestamps[0] == seq.timestamps[2]
+    rev = sub.reverse()
+    assert rev.timestamps[0] == sub.timestamps[-1]
+    rng = np.random.RandomState(0)
+    rnd = seq.random_subsequence(rng, 3, 1, 3)
+    assert len(rnd) == 3

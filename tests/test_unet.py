@@ -1,0 +1,117 @@
+"""U-Net and MSI assembly tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.models.unet import MSIUNet, sph_coord_channel, wrap_pad
+from matryodshka_tpu.models import msi as msi_lib
+
+
+def test_wrap_pad_semantics():
+    x = jnp.arange(2 * 3 * 4 * 1, dtype=jnp.float32).reshape(1, 2, 3, 4)
+    x = jnp.transpose(x, (0, 2, 3, 1))  # [1, 3, 4, 2] -> H=3, W=4
+    y = wrap_pad(x, 1, 1)
+    assert y.shape == (1, 5, 6, 2)
+    np.testing.assert_allclose(np.asarray(y[0, 1:-1, 0]),
+                               np.asarray(x[0, :, -1]))
+    np.testing.assert_allclose(np.asarray(y[0, 1:-1, -1]),
+                               np.asarray(x[0, :, 0]))
+    # vertical is zero padding
+    np.testing.assert_allclose(np.asarray(y[0, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(y[0, -1]), 0.0)
+
+
+@pytest.mark.parametrize("variant", ["wrap", "coord"])
+def test_unet_output_shape(variant):
+    h, w, p = 32, 64, 4
+    model = MSIUNet(num_outputs=2 * p, ngf=8, variant=variant,
+                    dtype=jnp.float32)
+    x = jnp.zeros((1, h, w, 2 * p * 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, h, w, 2 * p)
+    assert np.abs(np.asarray(y)).max() <= 1.0  # tanh head
+
+
+def test_unet_wrap_is_horizontally_equivariant():
+    """Wrap padding makes the network equivariant to horizontal rolls
+    at full resolution multiples of 8 (the total stride)."""
+    h, w, p = 32, 64, 2
+    model = MSIUNet(num_outputs=2 * p, ngf=8, variant="wrap",
+                    dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, h, w, 2 * p * 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    shift = 16  # multiple of 8
+    y_shift = model.apply(params, jnp.roll(x, shift, axis=2))
+    np.testing.assert_allclose(np.asarray(jnp.roll(y, shift, axis=2)),
+                               np.asarray(y_shift), atol=2e-4)
+
+
+def test_sph_coord_channel():
+    c = np.asarray(sph_coord_channel(9, 4))[0, :, 0, 0]
+    np.testing.assert_allclose(c[0], 1.0, atol=1e-6)     # pole
+    np.testing.assert_allclose(c[4], 0.0, atol=1e-6)     # equator
+    np.testing.assert_allclose(c[-1], 1.0, atol=1e-6)    # pole
+
+
+def test_assemble_rgba_blend_psv():
+    b, h, w, p = 1, 4, 6, 3
+    rng = np.random.RandomState(0)
+    net_input = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2 * p * 3))
+                            .astype(np.float32))
+    pred = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2 * p))
+                       .astype(np.float32))
+    out = msi_lib.assemble_rgba("blend_psv", pred, net_input, p)
+    rgba = np.asarray(out["rgba_layers"])
+    assert rgba.shape == (b, h, w, p, 4)
+    # manual check for plane 1
+    i = 1
+    fg = np.asarray(net_input)[..., i * 3:(i + 1) * 3]
+    bg = np.asarray(net_input)[..., (p + i) * 3:(p + i + 1) * 3]
+    wgt = (np.asarray(pred)[..., i] + 1) / 2
+    alpha = (np.asarray(pred)[..., p + i] + 1) / 2
+    np.testing.assert_allclose(rgba[..., i, :3],
+                               wgt[..., None] * fg
+                               + (1 - wgt[..., None]) * bg, rtol=1e-5)
+    np.testing.assert_allclose(rgba[..., i, 3], alpha, rtol=1e-5)
+
+
+@pytest.mark.parametrize("scheme,channels", [
+    ("blend_bg", 2 * 3 + 3), ("blend_bg_psv", 3 * 3 + 3),
+    ("alpha_only", 3)])
+def test_assemble_rgba_other_schemes(scheme, channels):
+    b, h, w, p = 1, 4, 6, 3
+    rng = np.random.RandomState(1)
+    net_input = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2 * p * 3))
+                            .astype(np.float32))
+    pred = jnp.asarray(rng.uniform(-1, 1, (b, h, w, channels))
+                       .astype(np.float32))
+    out = msi_lib.assemble_rgba(scheme, pred, net_input, p)
+    assert out["rgba_layers"].shape == (b, h, w, p, 4)
+    if scheme == "alpha_only":
+        np.testing.assert_allclose(
+            np.asarray(out["rgba_layers"][..., 0, :3]),
+            np.asarray(net_input[..., :3]), rtol=1e-6)
+
+
+def test_upsample_align_corners_endpoints():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4, 1))
+    up = np.asarray(msi_lib.upsample_align_corners(img, 5, 7))
+    assert up.shape == (1, 5, 7, 1)
+    np.testing.assert_allclose(up[0, 0, 0, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(up[0, -1, -1, 0], 11.0, atol=1e-5)
+    np.testing.assert_allclose(up[0, 0, -1, 0], 3.0, atol=1e-5)
+
+
+def test_num_net_outputs_table():
+    cfg = MatryConfig()
+    assert cfg.num_net_outputs() == 64
+    assert cfg.replace(which_color_pred="blend_bg").num_net_outputs() == 67
+    assert cfg.replace(which_color_pred="blend_bg_psv").num_net_outputs() \
+        == 99
+    assert cfg.replace(which_color_pred="alpha_only").num_net_outputs() == 32
