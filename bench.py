@@ -1,0 +1,102 @@
+"""Benchmark: end-to-end 32-shell MSI inference + novel-view render.
+
+The BASELINE.md north star: 640x320, 32 PSV planes x 2 eyes in, 32 RGBA
+shells out, one novel ERP view — under 10 ms/frame on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "msi_e2e_fps_640x320", "value": <frames/sec>, "unit": "fps",
+   "vs_baseline": <value / 100fps-baseline>}
+plus component timings on stderr for profiling.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.training import state as state_lib
+
+    cfg = _flagship_cfg()
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    batch = _synthetic_batch(cfg)
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    msi_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
+
+    @jax.jit
+    def e2e(params, batch):
+        outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x), params,
+                                    cfg, batch, psv_depths)
+        rgba = outputs["rgba_layers"]
+        b = rgba.shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        return msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
+                                            msi_depths)
+
+    # component pieces for the stderr breakdown
+    @jax.jit
+    def sweep_only(batch):
+        ref = msi_lib.preprocess_image(batch["ref_image"])
+        src = msi_lib.preprocess_image(batch["src_image"])
+        return sweep_lib.format_network_input(
+            ref, src, batch["ref_pose"], batch["src_pose"],
+            batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
+            use_pallas=cfg.use_pallas)
+
+    net_input = sweep_only(batch)
+
+    @jax.jit
+    def net_only(params, net_input):
+        return model.apply(params, net_input)
+
+    @jax.jit
+    def render_only(rgba, tgt_pose):
+        b = rgba.shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        return msi_lib.render_equirect_view(rgba, eye, tgt_pose, msi_depths)
+
+    pred = net_only(state.params, net_input)
+    rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,
+                                 cfg.num_msi_planes)["rgba_layers"]
+
+    def timeit(fn, *args, iters=20, warmup=3):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    ms_sweep = timeit(sweep_only, batch)
+    ms_net = timeit(net_only, state.params, net_input)
+    ms_render = timeit(render_only, rgba, batch["tgt_pose"])
+    ms_e2e = timeit(e2e, state.params, batch)
+
+    print(f"[bench] sweep={ms_sweep:.2f}ms net={ms_net:.2f}ms "
+          f"render={ms_render:.2f}ms e2e={ms_e2e:.2f}ms", file=sys.stderr)
+
+    fps = 1000.0 / ms_e2e
+    print(json.dumps({
+        "metric": "msi_e2e_fps_640x320",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

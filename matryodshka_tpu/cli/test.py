@@ -1,0 +1,261 @@
+"""Inference entry point (the reference's test.py).
+
+Runs batch-1 inference over test camera globs, renders the requested
+outputs and writes PNGs + blend_weights.npy / alphas.npy per example
+(test.py:87-281). `--test_type high_res` re-renders at hres_height x
+hres_width by streaming MSI shells through a lax.scan (the memory-bounded
+TPU equivalent of the per-plane numpy loop at test.py:284-394).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matryodshka_tpu.config import MatryConfig, add_config_args
+from matryodshka_tpu.data.images import write_image
+from matryodshka_tpu.data.loader import OdsLoader
+from matryodshka_tpu.geometry import render as render_lib
+from matryodshka_tpu.geometry import sweep as sweep_lib
+from matryodshka_tpu.models import msi as msi_lib
+from matryodshka_tpu.training import state as state_lib
+from matryodshka_tpu.training.checkpoint import CheckpointManager
+
+
+def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    msi_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
+
+    @jax.jit
+    def infer(params, batch):
+        outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x), params,
+                                    cfg, batch, psv_depths)
+        rgba = outputs["rgba_layers"]
+        b = rgba.shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        outs = {"rgba_layers": rgba}
+        for k in ("blend_weights", "alphas"):
+            if k in outputs:
+                outs[k] = outputs[k]
+        if "psv" in test_outputs:
+            outs["psv"] = outputs["psv"]
+        if "tgt_image" in test_outputs:
+            outs["output_image"] = msi_lib.deprocess_image(
+                msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
+                                             msi_depths))
+            outs["output_depth"] = msi_lib.render_equirect_depth(
+                rgba, eye, batch["tgt_pose"], msi_depths)
+        if "psp" in test_outputs:
+            for win in range(4):
+                outs[f"output_psp{win}"] = msi_lib.deprocess_image(
+                    msi_lib.render_perspective_view(
+                        rgba, batch["tgt_pose"], msi_depths,
+                        viewing_window=win))
+        if "src_output_image" in test_outputs:
+            outs["output_src"] = msi_lib.deprocess_image(
+                msi_lib.render_ods_view(rgba, -1, eye, batch["tgt_pose"],
+                                        msi_depths, batch["intrinsics"]))
+        if "ref_output_image" in test_outputs:
+            outs["output_ref"] = msi_lib.deprocess_image(
+                msi_lib.render_ods_view(rgba, 1, eye, batch["tgt_pose"],
+                                        msi_depths, batch["intrinsics"]))
+        return outs
+
+    return infer
+
+
+def build_hres_render_fn(cfg: MatryConfig):
+    """Shell-streamed high-res re-render.
+
+    Given low-res blend weights/alphas and the hres image pair, scans over
+    shells: each iteration builds a ONE-plane hres PSV, assembles its RGBA,
+    reprojects it into the target view and over-composites incrementally
+    (front accumulation), so peak memory is one hres shell
+    (test.py:306-394 semantics, compiled into a single lax.scan).
+    """
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    hh, hw = cfg.hres_height, cfg.hres_width
+
+    @jax.jit
+    def render(hres_ref, hres_src, blend_weights, alphas, ref_pose,
+               src_pose, ref_pose_inv, intrinsics, tgt_pose):
+        ref = msi_lib.preprocess_image(hres_ref)
+        src = msi_lib.preprocess_image(hres_src)
+        u_blend = msi_lib.upsample_align_corners(blend_weights, hh, hw)
+        u_alpha = msi_lib.upsample_align_corners(alphas, hh, hw)
+
+        def body(carry, p):
+            out_rgb, out_depth = carry
+            depth = psv_depths[p]
+            net_in = sweep_lib.format_network_input(
+                ref, src, ref_pose, src_pose, ref_pose_inv, depth[None],
+                intrinsics, input_type=cfg.input_type)
+            fg = net_in[..., 0:3]
+            bg = net_in[..., 3:6]
+            wgt = u_blend[..., p:p + 1]
+            alpha = u_alpha[..., p:p + 1]
+            rgb = wgt * fg + (1.0 - wgt) * bg
+            rgba = jnp.concatenate([rgb, alpha], -1)[:, :, :, None, :]
+            proj = jax.vmap(
+                lambda L, c: render_lib.reproject_equirect(
+                    L, jnp.eye(4), c, depth[None])
+            )(rgba, tgt_pose)[:, 0]  # [B, H, W, 4]
+            prgb, palpha = proj[..., :3], proj[..., 3:]
+            out_rgb = jnp.where(p == 0, prgb,
+                                prgb * palpha + out_rgb * (1 - palpha))
+            a3 = jnp.broadcast_to(palpha, palpha.shape[:-1] + (3,))
+            step_depth = (p / cfg.num_psv_planes) * a3 \
+                + out_depth * (1 - a3)
+            out_depth = jnp.where(p == 0, jnp.zeros_like(step_depth),
+                                  step_depth)
+            return (out_rgb, out_depth), None
+
+        init = (jnp.zeros((hres_ref.shape[0], hh, hw, 3)),
+                jnp.zeros((hres_ref.shape[0], hh, hw, 3)))
+        (rgb, depth), _ = jax.lax.scan(
+            body, init, jnp.arange(cfg.num_psv_planes))
+        return msi_lib.deprocess_image(rgb), depth
+
+    return render
+
+
+def save_outputs(cfg: MatryConfig, out_dir: str, dirname: str, batch,
+                 outs, test_outputs: str):
+    os.makedirs(out_dir, exist_ok=True)
+    if "tgt_image" in test_outputs:
+        write_image(f"{out_dir}/tgt_image_{dirname}.png",
+                    np.asarray(batch["tgt_image"][0]) * 255.0)
+        write_image(f"{out_dir}/output_tgt_{dirname}.png",
+                    np.asarray(outs["output_image"][0]) * 255.0)
+        write_image(f"{out_dir}/output_depth_{dirname}.png",
+                    np.asarray(outs["output_depth"][0]) * 255.0)
+    if "src_image" in test_outputs:
+        write_image(f"{out_dir}/src_image_{dirname}.png",
+                    np.asarray(batch["src_image"][0]) * 255.0)
+    if "ref_image" in test_outputs:
+        write_image(f"{out_dir}/ref_image_{dirname}.png",
+                    np.asarray(batch["ref_image"][0]) * 255.0)
+    if "psp" in test_outputs:
+        for win in range(4):
+            write_image(f"{out_dir}/output_ptgt{win}_{dirname}.png",
+                        np.asarray(outs[f"output_psp{win}"][0]) * 255.0)
+    if "src_output_image" in test_outputs:
+        write_image(f"{out_dir}/output_src_{dirname}.png",
+                    np.asarray(outs["output_src"][0]) * 255.0)
+    if "ref_output_image" in test_outputs:
+        write_image(f"{out_dir}/output_ref_{dirname}.png",
+                    np.asarray(outs["output_ref"][0]) * 255.0)
+    if "psv" in test_outputs and "psv" in outs:
+        psv = np.asarray(outs["psv"][0])
+        for j in range(cfg.num_psv_planes):
+            write_image(f"{out_dir}/psv_plane_{j:03d}.png",
+                        (psv[:, :, j * 3:(j + 1) * 3] + 1) / 2 * 255)
+    if "blend_weights" in test_outputs and "blend_weights" in outs:
+        np.save(f"{out_dir}/blend_weights.npy",
+                np.asarray(outs["blend_weights"]))
+        for i in range(cfg.num_msi_planes):
+            write_image(f"{out_dir}/blend_weight_{i:03d}.png",
+                        np.asarray(outs["blend_weights"][0, :, :, i])
+                        * 255.0)
+    if "alphas" in test_outputs and "alphas" in outs:
+        np.save(f"{out_dir}/alphas.npy", np.asarray(outs["alphas"]))
+    if "rgba_layers" in test_outputs:
+        rgba = np.asarray(outs["rgba_layers"][0])
+        for i in range(cfg.num_msi_planes):
+            write_image(f"{out_dir}/msi_alpha_{i:02d}.png",
+                        rgba[:, :, i, 3] * 255.0)
+            write_image(f"{out_dir}/msi_rgb_{i:02d}.png",
+                        (rgba[:, :, i, :3] + 1) / 2 * 255.0)
+
+
+def example_dirname(cfg, batch, video: bool, prefix: str) -> str:
+    dirname = ""
+    if video:
+        dirname += "video_"
+        if prefix:
+            dirname += f"{prefix}_"
+    dirname += batch["scene_id"][0]
+    dirname += "_" + "".join(batch["image_ids"][0])
+    return dirname
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(description="matryodshka-tpu test")
+    add_config_args(parser)
+    parser.add_argument("--test_type", type=str, default="")
+    parser.add_argument("--prefix", type=str, default="")
+    parser.add_argument(
+        "--test_outputs", type=str,
+        default="rgba_layers_src_image_ref_image_tgt_image_"
+                "blend_weights_alphas")
+    parser.add_argument("--num_runs", type=int, default=-1)
+    args = parser.parse_args(argv)
+    from matryodshka_tpu.config import config_from_args
+    cfg = config_from_args(args)
+    assert cfg.batch_size == 1, "batch_size must be 1 when testing"
+
+    ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.experiment_name)
+    manager = CheckpointManager(ckpt_dir)
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    params, step = manager.restore_params()
+    print(f"[test] restored checkpoint @ step {step}")
+
+    out_root = os.path.join(cfg.output_root, cfg.experiment_name)
+    os.makedirs(out_root, exist_ok=True)
+    with open(os.path.join(out_root, "step.txt"), "w") as fh:
+        fh.write(str(step))
+
+    video = "on_video" in args.test_type
+
+    if "high_res_only" not in args.test_type:
+        loader = OdsLoader(cfg, training=False)
+        infer = build_infer_fn(cfg, model, args.test_outputs)
+        for run, batch in enumerate(loader.batches()):
+            if 0 <= args.num_runs <= run:
+                break
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            outs = jax.device_get(infer(params, arrays))
+            dirname = example_dirname(cfg, batch, video, args.prefix)
+            out_dir = os.path.join(out_root, dirname)
+            print(f"[test] saving to {out_dir}")
+            save_outputs(cfg, out_dir, dirname, batch, outs,
+                         args.test_outputs)
+
+    if "high_res" in args.test_type:
+        hres_cfg = cfg.replace(supervision=cfg.supervision + "_hrestgt")
+        loader = OdsLoader(hres_cfg, training=False)
+        render = build_hres_render_fn(cfg)
+        for run, batch in enumerate(loader.batches()):
+            if 0 <= args.num_runs <= run:
+                break
+            dirname = example_dirname(cfg, batch, video, args.prefix)
+            out_dir = os.path.join(out_root, dirname)
+            bw = np.load(os.path.join(out_dir, "blend_weights.npy"))
+            al = np.load(os.path.join(out_dir, "alphas.npy"))
+            rgb, depth = jax.device_get(render(
+                jnp.asarray(batch["hres_ref_image"]),
+                jnp.asarray(batch["hres_src_image"]),
+                jnp.asarray(bw), jnp.asarray(al),
+                jnp.asarray(batch["ref_pose"]),
+                jnp.asarray(batch["src_pose"]),
+                jnp.asarray(batch["ref_pose_inv"]),
+                jnp.asarray(batch["intrinsics"]),
+                jnp.asarray(batch["tgt_pose"])))
+            print(f"[test] saving hres render to {out_dir}")
+            write_image(f"{out_dir}/output_hrestgt_{dirname}.png",
+                        np.asarray(rgb[0]) * 255.0)
+            write_image(f"{out_dir}/output_hresdepth_{dirname}.png",
+                        np.asarray(depth[0]) * 255.0)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from matryodshka_tpu.geometry import cameras, intersect
-from matryodshka_tpu.ops.resample import bilinear_wrap_resample
+from matryodshka_tpu.ops.resample import (bilinear_wrap_resample,
+                                          resample_layers)
 
 Array = jax.Array
 
@@ -77,9 +78,10 @@ def _gather_layers(rgba_layers: Array, uv: Array) -> Array:
     """Sample each shell at its own coordinate field.
 
     rgba_layers: [H, W, P, C]; uv: [P, Ht, Wt, 2] -> [P, Ht, Wt, C].
+    All planes collapse into one flat gather (resample_layers).
     """
     layers = jnp.moveaxis(rgba_layers, 2, 0)  # [P, H, W, C]
-    return jax.vmap(bilinear_wrap_resample)(layers, uv)
+    return resample_layers(layers, uv)
 
 
 def reproject_equirect(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,

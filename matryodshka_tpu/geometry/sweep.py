@@ -21,24 +21,40 @@ import jax
 import jax.numpy as jnp
 
 from matryodshka_tpu.geometry import cameras, grids
-from matryodshka_tpu.ops.resample import resample_stack
+from matryodshka_tpu.ops.resample import (resample_layers,
+                                            resample_stack)
 
 Array = jax.Array
 
 
-def _sweep_single(image: Array, order: int, depths: Array, pose: Array,
-                  intrinsics: Array, st_fn, backproject_fn, project_fn,
-                  use_pallas: bool = False) -> Array:
-    """Sweep one [H, W, C] image over P depths -> [H, W, P*C]."""
-    h, w, c = image.shape
-    p = depths.shape[0]
+def _sweep_coords(shape, order: int, depths: Array, pose: Array,
+                  intrinsics: Array, st_fn, backproject_fn,
+                  project_fn) -> Array:
+    """Lookup coordinates for one example's sweep: [P, H, W, 2]."""
+    h, w = shape
     S, T = st_fn((h, w))
     points = backproject_fn(S, T, depths, intrinsics)
     points = cameras.apply_pose(points, pose)
-    uv = project_fn(points, order, pose, intrinsics, w, h)  # [P, H, W, 2]
-    vol = resample_stack(image, uv, wrap=True, use_pallas=use_pallas)
-    # [P, H, W, C] -> [H, W, P, C] -> [H, W, P*C] (plane-major channels)
-    return jnp.transpose(vol, (1, 2, 0, 3)).reshape(h, w, p * c)
+    return project_fn(points, order, pose, intrinsics, w, h)
+
+
+def _sweep_batch(image: Array, order: int, depths: Array, pose: Array,
+                 intrinsics: Array, st_fn, backproject_fn, project_fn,
+                 use_pallas: bool = False) -> Array:
+    """Sweep a [B, H, W, C] batch -> [B, H, W, P*C].
+
+    Coordinates are vmapped (cheap elementwise math); the gather runs
+    UNBATCHED through resample_layers — a vmapped gather falls off XLA's
+    fast row-copy path on TPU (measured ~2x slower), so the batch axis is
+    folded into the table axis instead.
+    """
+    b, h, w, c = image.shape
+    p = depths.shape[0]
+    uv = jax.vmap(lambda po, K: _sweep_coords(
+        (h, w), order, depths, po, K, st_fn, backproject_fn, project_fn)
+    )(pose, intrinsics)                       # [B, P, H, W, 2]
+    vol = resample_layers(image, uv)          # [B, P, H, W, C]
+    return jnp.transpose(vol, (0, 2, 3, 1, 4)).reshape(b, h, w, p * c)
 
 
 def ods_sphere_sweep(image: Array, order: int, depths: Array, pose: Array,
@@ -52,12 +68,10 @@ def ods_sphere_sweep(image: Array, order: int, depths: Array, pose: Array,
     Returns:
       [B, H, W, P*C] sphere-sweep volume. (projector.py:209-211)
     """
-    fn = partial(_sweep_single, order=order, depths=depths,
-                 st_fn=grids.lat_long_grid,
-                 backproject_fn=cameras.backproject_spherical,
-                 project_fn=cameras.project_ods, use_pallas=use_pallas)
-    return jax.vmap(lambda im, po, K: fn(im, pose=po, intrinsics=K))(
-        image, pose, intrinsics)
+    return _sweep_batch(image, order, depths, pose, intrinsics,
+                        grids.lat_long_grid,
+                        cameras.backproject_spherical,
+                        cameras.project_ods, use_pallas=use_pallas)
 
 
 def ods_centered_sphere_sweep(image: Array, order: int, depths: Array,
@@ -65,12 +79,10 @@ def ods_centered_sphere_sweep(image: Array, order: int, depths: Array,
                               use_pallas: bool = False) -> Array:
     """Sphere sweep with a centered (non-ODS) spherical projection
     (projector.py:213-215; used by sweep_ref)."""
-    fn = partial(_sweep_single, order=order, depths=depths,
-                 st_fn=grids.lat_long_grid,
-                 backproject_fn=cameras.backproject_spherical,
-                 project_fn=cameras.project_spherical, use_pallas=use_pallas)
-    return jax.vmap(lambda im, po, K: fn(im, pose=po, intrinsics=K))(
-        image, pose, intrinsics)
+    return _sweep_batch(image, order, depths, pose, intrinsics,
+                        grids.lat_long_grid,
+                        cameras.backproject_spherical,
+                        cameras.project_spherical, use_pallas=use_pallas)
 
 
 def perspective_plane_sweep(image: Array, order: int, depths: Array,
@@ -78,13 +90,10 @@ def perspective_plane_sweep(image: Array, order: int, depths: Array,
                             use_pallas: bool = False) -> Array:
     """Fronto-parallel plane sweep with pinhole projection
     (projector.py:221-223)."""
-    fn = partial(_sweep_single, order=order, depths=depths,
-                 st_fn=grids.uv_grid,
-                 backproject_fn=cameras.backproject_planar,
-                 project_fn=cameras.project_perspective,
-                 use_pallas=use_pallas)
-    return jax.vmap(lambda im, po, K: fn(im, pose=po, intrinsics=K))(
-        image, pose, intrinsics)
+    return _sweep_batch(image, order, depths, pose, intrinsics,
+                        grids.uv_grid, cameras.backproject_planar,
+                        cameras.project_perspective,
+                        use_pallas=use_pallas)
 
 
 def gcn_sphere_sweep(image: Array, order: int, depths: Array, coords: Array,

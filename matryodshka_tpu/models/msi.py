@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.geometry import intersect
 from matryodshka_tpu.geometry import render as render_lib
 from matryodshka_tpu.geometry import sweep as sweep_lib
 from matryodshka_tpu.geometry.homography import mpi_render_view
@@ -195,41 +196,64 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
 
 
 # ---------------------------------------------------------------------------
-# Batched rendering wrappers (vmap over the single-example renderers).
+# Batched rendering wrappers.
+#
+# Lookup coordinates are vmapped over batch (cheap elementwise math); the
+# gather itself runs UNBATCHED by folding (batch, plane) into one slice
+# axis — a vmapped gather falls off XLA's fast row-copy path on TPU.
 # ---------------------------------------------------------------------------
+
+def _batched_reproject(rgba_layers: Array, uv: Array) -> Array:
+    """rgba_layers [B, H, W, P, 4] + uv [B, P, h, w, 2] ->
+    reprojected layers [B, h, w, P, 4]."""
+    from matryodshka_tpu.ops.resample import resample_layers
+    b, h, w, p, c = rgba_layers.shape
+    _, _, ho, wo, _ = uv.shape
+    layers = jnp.moveaxis(rgba_layers, 3, 1).reshape(b * p, h, w, c)
+    proj = resample_layers(layers, uv.reshape(b * p, ho, wo, 2))
+    return jnp.moveaxis(proj.reshape(b, p, ho, wo, c), 1, 3)
+
 
 def render_equirect_view(rgba_layers: Array, tgt_pose_rt: Array,
                          tgt_pos: Array, radii: Array) -> Array:
     """[B, H, W, P, 4] + [B, 4, 4] + [B, 3] -> [B, H, W, 3]."""
-    return jax.vmap(
-        lambda L, po, c: render_lib.render_equirect_view(L, po, c, radii)
-    )(rgba_layers, tgt_pose_rt, tgt_pos)
+    h, w = rgba_layers.shape[1], rgba_layers.shape[2]
+    uv = jax.vmap(lambda po, c: intersect.intersect_sphere(
+        po, c, radii, w, h))(tgt_pose_rt, tgt_pos)
+    return render_lib.over_composite(_batched_reproject(rgba_layers, uv))
 
 
 def render_equirect_depth(rgba_layers: Array, tgt_pose_rt: Array,
                           tgt_pos: Array, radii: Array) -> Array:
-    return jax.vmap(
-        lambda L, po, c: render_lib.render_equirect_depth(L, po, c, radii)
-    )(rgba_layers, tgt_pose_rt, tgt_pos)
+    h, w = rgba_layers.shape[1], rgba_layers.shape[2]
+    uv = jax.vmap(lambda po, c: intersect.intersect_sphere(
+        po, c, radii, w, h))(tgt_pose_rt, tgt_pos)
+    return render_lib.over_composite_depth(
+        _batched_reproject(rgba_layers, uv))
 
 
 def render_ods_view(rgba_layers: Array, order: int, pose: Array,
                     tgt_pos: Array, radii: Array, intrinsics: Array
                     ) -> Array:
-    return jax.vmap(
-        lambda L, po, c, K: render_lib.render_ods_view(L, order, po, c,
-                                                       radii, K)
-    )(rgba_layers, pose, tgt_pos, intrinsics)
+    h, w = rgba_layers.shape[1], rgba_layers.shape[2]
+    uv = jax.vmap(lambda po, K: intersect.intersect_ods(
+        po, None, order, K, radii, w, h))(pose, intrinsics)
+    return render_lib.over_composite(_batched_reproject(rgba_layers, uv))
 
 
 def render_perspective_view(rgba_layers: Array, tgt_pos: Array,
                             radii: Array, viewing_window: int = 3,
                             psp_height: int = 270,
                             psp_width: int = 480) -> Array:
-    return jax.vmap(
-        lambda L, c: render_lib.render_perspective_view(
-            L, c, radii, viewing_window, psp_height, psp_width)
-    )(rgba_layers, tgt_pos)
+    import math as _math
+    from matryodshka_tpu.geometry import cameras as _cameras
+    h, w = rgba_layers.shape[1], rgba_layers.shape[2]
+    angle = jnp.array([0.0, viewing_window * _math.pi / 2.0, 0.0])
+    R = _cameras.rotation_from_euler(angle)
+    pose = jnp.eye(4).at[:3, :3].set(R)
+    uv = jax.vmap(lambda c: intersect.intersect_perspective(
+        pose, c, radii, w, h, psp_width, psp_height))(tgt_pos)
+    return render_lib.over_composite(_batched_reproject(rgba_layers, uv))
 
 
 def render_mpi_view(rgba_layers: Array, tgt_pose: Array, radii: Array,

@@ -1,0 +1,57 @@
+"""Data-parallel training via GSPMD sharding annotations.
+
+Instead of translating a NCCL allreduce loop, the train step is jitted with
+NamedShardings: batch arrays sharded over the 'data' mesh axis, parameters
+and optimizer state replicated. XLA GSPMD partitions the forward/backward
+and inserts the gradient all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.training.state import TrainState
+from matryodshka_tpu.training.step import make_loss_fn
+
+
+def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
+                       mesh: Mesh,
+                       elpips_fn: Optional[Callable] = None) -> Callable:
+    """Jitted data-parallel train_step(state, batch, rng).
+
+    The global batch (cfg.batch_size) must be divisible by the 'data' axis
+    size; each device computes its shard's loss and GSPMD reduces grads.
+    """
+    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn)
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in aux.items()
+                   if isinstance(v, jax.Array) and v.ndim == 0}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batched, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host batch dict with axis 0 sharded over 'data'."""
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()
+            if not isinstance(v, (list, str))}

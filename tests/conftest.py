@@ -7,8 +7,9 @@ Must set the flags before jax initializes its backends.
 
 import os
 
-# Force CPU: the environment may pre-set JAX_PLATFORMS (e.g. the 'axon'
-# TPU tunnel), but tests must run on 8 virtual CPU devices.
+# Force CPU: the environment pre-sets JAX_PLATFORMS='axon' (TPU tunnel)
+# and a sitecustomize registers that backend in every process, overriding
+# the env var — so the config must be updated AFTER importing jax.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache makes repeated test runs much faster.

@@ -83,3 +83,34 @@ def test_resample_stack_shapes():
     coords = jnp.asarray(rng.uniform(0, 9, (5, 6, 10, 2)).astype(np.float32))
     out = resample_stack(img, coords)
     assert out.shape == (5, 6, 10, 3)
+
+
+def test_packed_path_matches_four_tap():
+    from matryodshka_tpu.ops.resample import (
+        pack_quad, bilinear_wrap_resample_packed, resample_layers)
+    rng = np.random.RandomState(5)
+    img = rng.rand(9, 13, 3).astype(np.float32)
+    coords = np.stack([rng.uniform(-20, 30, (4, 6, 11)),
+                       rng.uniform(-20, 30, (4, 6, 11))],
+                      axis=-1).astype(np.float32)
+    ref = np.asarray(bilinear_wrap_resample(jnp.asarray(img),
+                                            jnp.asarray(coords)))
+    packed = pack_quad(jnp.asarray(img))
+    got = np.asarray(bilinear_wrap_resample_packed(packed, 9, 13, 3,
+                                                   jnp.asarray(coords)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resample_layers_matches_per_layer():
+    from matryodshka_tpu.ops.resample import resample_layers
+    rng = np.random.RandomState(6)
+    layers = rng.rand(5, 8, 12, 4).astype(np.float32)
+    coords = np.stack([rng.uniform(-5, 20, (5, 8, 12)),
+                       rng.uniform(-5, 20, (5, 8, 12))],
+                      axis=-1).astype(np.float32)
+    got = np.asarray(resample_layers(jnp.asarray(layers),
+                                     jnp.asarray(coords)))
+    for p in range(5):
+        ref = np.asarray(bilinear_wrap_resample(jnp.asarray(layers[p]),
+                                                jnp.asarray(coords[p])))
+        np.testing.assert_array_equal(got[p], ref)
