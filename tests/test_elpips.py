@@ -1,0 +1,137 @@
+"""E-LPIPS subsystem tests (random weights; structural + invariance)."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matryodshka_tpu.losses.elpips import api, networks, pnetlin, transforms
+
+
+@pytest.fixture(scope="module")
+def lpips_metric():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return api.Metric(api.lpips_vgg(batch_size=1))
+
+
+@pytest.fixture(scope="module")
+def elpips_metric():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg = api.elpips_vgg(batch_size=1)
+        cfg.num_scales = 2  # keep the switch small for test speed
+        return api.Metric(cfg)
+
+
+def _img(seed, h=64, w=64):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+
+
+def test_lpips_zero_for_identical(lpips_metric):
+    a = _img(0)
+    d = lpips_metric.forward(a, a, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_lpips_positive_and_symmetricish(lpips_metric):
+    a, b = _img(1), _img(2)
+    dab = float(lpips_metric.forward(a, b, jax.random.PRNGKey(0))[0])
+    dba = float(lpips_metric.forward(b, a, jax.random.PRNGKey(0))[0])
+    assert dab > 0
+    np.testing.assert_allclose(dab, dba, rtol=1e-4)
+
+
+def test_lpips_monotone_in_noise(lpips_metric):
+    a = _img(3)
+    rng = np.random.RandomState(0)
+    noise = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    d1 = float(lpips_metric.forward(a + 0.01 * noise, a, k)[0])
+    d2 = float(lpips_metric.forward(a + 0.1 * noise, a, k)[0])
+    assert d2 > d1
+
+
+def test_elpips_runs_and_tuple_mode(elpips_metric):
+    a, b, ref = _img(4), _img(5), _img(6)
+    k = jax.random.PRNGKey(1)
+    da, db = elpips_metric.forward((a, b), ref, k)
+    assert da.shape == (1,) and db.shape == (1,)
+    assert np.isfinite(float(da[0])) and np.isfinite(float(db[0]))
+    # same transforms for both: evaluating a == ref gives smaller distance
+    dref, _ = elpips_metric.forward((ref, b), ref, k)
+    assert float(dref[0]) < float(db[0])
+
+
+def test_elpips_deterministic_given_key(elpips_metric):
+    a, ref = _img(7), _img(8)
+    k = jax.random.PRNGKey(2)
+    d1 = float(elpips_metric.forward(a, ref, k)[0])
+    d2 = float(elpips_metric.forward(a, ref, k)[0])
+    assert d1 == d2
+    d3 = float(elpips_metric.forward(a, ref, jax.random.PRNGKey(3))[0])
+    assert d1 != d3
+
+
+def test_elpips_jittable_and_differentiable(elpips_metric):
+    a, ref = _img(9), _img(10)
+
+    @jax.jit
+    def loss(a):
+        return jnp.mean(elpips_metric.forward(a, ref,
+                                              jax.random.PRNGKey(0)))
+
+    g = jax.grad(loss)(a)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_transforms_shapes():
+    key = jax.random.PRNGKey(0)
+    params = transforms.sample_ensemble(key, 2, 7, (1.0, 0.25))
+    X = _img(11, 32, 48)
+    X = jnp.tile(X, (2, 1, 1, 1))
+    out = transforms.apply_ensemble(X, params, 2, 7, swap=False)
+    # downscale by 2: (16+?) -> pads to multiple of 2 -> 17x25-ish, then
+    # offset adds offset_max; swap may transpose
+    assert out.ndim == 4 and out.shape[0] == 2 and out.shape[3] == 3
+
+
+def test_downscale_box_average():
+    X = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    out = transforms.downscale(X, 2, jnp.zeros(2, jnp.int32))
+    # offset 0, pad (1,1) reflect on each side -> includes border effects;
+    # just check shape and finite values
+    assert out.shape == (1, 3, 3, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vgg_tap_channels():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w = networks.random_vgg_weights(jax.random.PRNGKey(0))
+    net = networks.VGG16Features(w, "full_avg")
+    x = (_img(12, 32, 32),)
+    taps = net(x)
+    assert len(taps) == 14
+    for tap, c in zip(taps, networks.VGG16_FULL_AVG_CHANNELS):
+        assert tap[0].shape[-1] == c
+    net5 = networks.VGG16Features(w, "lpips")
+    taps5 = net5(x)
+    assert [t[0].shape[-1] for t in taps5] == \
+        networks.VGG16_LPIPS_CHANNELS
+
+
+def test_squeeze_tap_channels():
+    w = networks.random_squeeze_weights(jax.random.PRNGKey(0))
+    net = networks.SqueezeNetFeatures(w, "lpips")
+    taps = net((_img(13, 64, 64),))
+    assert [t[0].shape[-1] for t in taps] == \
+        networks.SQUEEZE_LPIPS_CHANNELS
+    netf = networks.SqueezeNetFeatures(w, "full_maxpool")
+    tapsf = netf((_img(13, 64, 64),))
+    assert [t[0].shape[-1] for t in tapsf] == \
+        networks.SQUEEZE_FULL_MAXPOOL_CHANNELS

@@ -80,3 +80,24 @@ def test_param_count_reasonable():
     state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
     n = state_lib.param_count(state.params)
     assert 1_000 < n < 10_000_000
+
+
+def test_train_step_elpips_loss():
+    import warnings
+    from matryodshka_tpu.losses.elpips import api as elpips_api
+    cfg = tiny_cfg(which_loss="elpips")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ecfg = elpips_api.elpips_vgg(batch_size=cfg.batch_size)
+        ecfg.num_scales = 2
+        metric = elpips_api.Metric(ecfg)
+    batch = synthetic_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, model = state_lib.init_state(cfg, rng)
+    tx = state_lib.build_optimizer(cfg)
+    from matryodshka_tpu.training.step import make_train_step
+    step_fn = make_train_step(cfg, model.apply, tx,
+                              elpips_fn=lambda p, t, k: metric.forward(
+                                  p, t, k), donate=False)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
