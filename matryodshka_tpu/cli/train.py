@@ -64,27 +64,124 @@ def make_image_summary_fn(cfg: MatryConfig, model_apply):
     return fn
 
 
+def run_dry_run(cfg: MatryConfig, loader, state, model, with_inference,
+                dryrun_dir=None):
+    """Sanity-check dumps (msi.py:776-967): save src/ref/tgt + every
+    formatted PSV plane; with_inference additionally restores the latest
+    checkpoint and dumps the predicted RGBA layers and re-renders."""
+    import os
+
+    import numpy as np
+
+    from matryodshka_tpu.data.images import write_image
+    from matryodshka_tpu.training.checkpoint import CheckpointManager
+
+    dryrun_dir = dryrun_dir or os.path.join("dryrun", cfg.experiment_name)
+    os.makedirs(dryrun_dir, exist_ok=True)
+    batch = next(loader.batches())
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, (list, str))}
+
+    for name in ("tgt", "src", "ref"):
+        write_image(f"{dryrun_dir}/{name}.png",
+                    np.asarray(batch[f"{name}_image"][0]) * 255.0)
+        if cfg.supervise_hrestgt:
+            write_image(f"{dryrun_dir}/hres_{name}.png",
+                        np.asarray(batch[f"hres_{name}_image"][0]) * 255.0)
+
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    msi_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
+    params = state.params
+    if with_inference:
+        ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.experiment_name)
+        manager = CheckpointManager(ckpt_dir)
+        params, step = manager.restore_params()
+        print(f"[dry_run] restored checkpoint @ step {step}")
+
+    outputs = jax.jit(lambda p, b: msi_lib.infer_msi(
+        lambda pp, x: model.apply(pp, x), p, cfg, b, psv_depths))(
+            params, arrays)
+    psv = np.asarray(outputs["psv"][0])
+    for i in range(2 * cfg.num_psv_planes):
+        write_image(f"{dryrun_dir}/formatInput_{i}.png",
+                    (psv[:, :, i * 3:(i + 1) * 3] + 1) / 2 * 255)
+
+    if with_inference:
+        rgba = np.asarray(outputs["rgba_layers"][0])
+        for i in range(cfg.num_msi_planes):
+            write_image(f"{dryrun_dir}/msi_alpha_{i:02d}.png",
+                        rgba[:, :, i, 3] * 255.0)
+            write_image(f"{dryrun_dir}/msi_rgb_{i:02d}.png",
+                        (rgba[:, :, i, :3] + 1) / 2 * 255.0)
+        if cfg.input_type == "ODS":
+            b = outputs["rgba_layers"].shape[0]
+            eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+            out = msi_lib.render_equirect_view(
+                outputs["rgba_layers"], eye, arrays["tgt_pose"],
+                msi_depths)
+            write_image(f"{dryrun_dir}/tgt_rendered.png",
+                        np.asarray(msi_lib.deprocess_image(out[0])) * 255.0)
+            depth = msi_lib.render_equirect_depth(
+                outputs["rgba_layers"], eye, arrays["tgt_pose"],
+                msi_depths)
+            write_image(f"{dryrun_dir}/depth_rendered.png",
+                        np.asarray(depth[0]) * 255.0)
+    print(f"[dry_run] wrote sanity dumps to {dryrun_dir}")
+
+
 def main(argv=None):
-    cfg = parse_config(argv, description="matryodshka-tpu training")
+    import argparse
+
+    from matryodshka_tpu.config import add_config_args, config_from_args
+    parser = argparse.ArgumentParser(
+        description="matryodshka-tpu training")
+    add_config_args(parser)
+    parser.add_argument("--dry_run", action="store_true")
+    parser.add_argument("--dry_run_inference", action="store_true")
+    parser.add_argument("--profile_steps", type=str, default=None,
+                        help="'start,stop' step window for jax.profiler")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
     print(f"[train] devices: {jax.devices()}")
 
     if cfg.input_type == "REALESTATE_PP":
         loader = RealEstateLoader(cfg, training=True,
                                   shuffle_seq_length=10)
+    elif cfg.input_type == "PP":
+        from matryodshka_tpu.data.loader import ReplicaPerspectiveLoader
+        loader = ReplicaPerspectiveLoader(cfg, training=True)
     else:
         loader = OdsLoader(cfg, training=True)
     print(f"[train] {len(loader.sequences)} sequences")
 
     rng = jax.random.PRNGKey(cfg.random_seed)
     state, model = state_lib.init_state(cfg, rng)
-    tx = state_lib.build_optimizer(cfg)
-    step_fn = make_train_step(cfg, model.apply, tx,
-                              elpips_fn=build_elpips_fn(cfg))
 
-    image_fn = make_image_summary_fn(cfg, model.apply)
+    if args.dry_run or args.dry_run_inference:
+        run_dry_run(cfg, loader, state, model,
+                    with_inference=args.dry_run_inference)
+        return
+
+    tx = state_lib.build_optimizer(cfg)
+    gcn_inputs = None
+    if cfg.gcn:
+        _, mesh_coords, p2v = state_lib.build_gcn(cfg)
+        gcn_inputs = (mesh_coords, p2v)
+    step_fn = make_train_step(cfg, model.apply, tx,
+                              elpips_fn=build_elpips_fn(cfg),
+                              gcn_inputs=gcn_inputs)
+
+    image_fn = None if cfg.gcn else make_image_summary_fn(cfg, model.apply)
+    profile_steps = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(",")
+        profile_steps = (int(a), int(b))
     batches = device_prefetch(loader.batches(), size=2)
     loop_lib.train(cfg, state, step_fn, batches,
-                   image_summary_fn=image_fn)
+                   image_summary_fn=image_fn,
+                   profile_steps=profile_steps)
 
 
 if __name__ == "__main__":

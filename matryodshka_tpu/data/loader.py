@@ -128,6 +128,94 @@ class OdsLoader:
             yield self._format_batch([self._load_example(s) for s in seqs])
 
 
+class ReplicaPerspectiveLoader:
+    """Replica perspective (PP) loader (data_loader.py:187-241).
+
+    Camera line: scene_id img1 img2 img3 input_offset tgt_offset.
+    Poses: ref = I; src = [I | (-input_offset, 0, 0)];
+    tgt = [I | (-tgt_offset, 0, 0)]. Intrinsics: fx=cx=W/2, fy=cy=H/2.
+
+    The PP pipeline's sweep/render reference frame is the slerp midpoint
+    of ref/src (train.py:119-120); its inverse is published as
+    'ref_pose_inv' so downstream code needs no graph side-channels.
+    """
+
+    def __init__(self, cfg: MatryConfig, cameras_glob: Optional[str] = None,
+                 image_dir: Optional[str] = None, training: bool = True,
+                 num_workers: int = 8):
+        self.cfg = cfg
+        self.training = training
+        self.image_dir = image_dir or cfg.image_dir
+        self.sequences = parsers.load_perspective_sequences(
+            cameras_glob or cfg.cameras_glob)
+        if not self.sequences:
+            raise FileNotFoundError(
+                f"no camera lines matched {cameras_glob or cfg.cameras_glob}")
+        self.rng = np.random.RandomState(cfg.random_seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def _load_example(self, seq) -> Dict[str, Array]:
+        cfg = self.cfg
+        paths = [img_lib.ods_image_path(self.image_dir, seq.scene_id, iid)
+                 for iid in seq.image_ids]
+        imgs = list(self.pool.map(
+            lambda p: img_lib.load_and_resize(p, cfg.height, cfg.width),
+            paths))
+        return {"ref_image": imgs[0], "src_image": imgs[1],
+                "tgt_image": imgs[2],
+                "input_offset": np.float32(seq.input_offset),
+                "tgt_offset": np.float32(seq.tgt_offset),
+                "scene_id": seq.scene_id,
+                "image_ids": list(seq.image_ids)}
+
+    def _format_batch(self, examples) -> Dict[str, Array]:
+        b = len(examples)
+        h, w = self.cfg.height, self.cfg.width
+        batch: Dict[str, Array] = {}
+        for k in ("ref_image", "src_image", "tgt_image"):
+            batch[k] = np.stack([e[k] for e in examples])
+        ref = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        src = ref.copy()
+        tgt = ref.copy()
+        src[:, 0, 3] = [-e["input_offset"] for e in examples]
+        tgt[:, 0, 3] = [-e["tgt_offset"] for e in examples]
+        batch["ref_pose"], batch["src_pose"], batch["tgt_pose"] = \
+            ref, src, tgt
+        K = np.zeros((b, 3, 3), np.float32)
+        K[:, 0, 0] = 0.5 * w
+        K[:, 1, 1] = 0.5 * h
+        K[:, 0, 2] = 0.5 * w
+        K[:, 1, 2] = 0.5 * h
+        K[:, 2, 2] = 1.0
+        batch["intrinsics"] = K
+        # interp (slerp midpoint) reference frame
+        import jax.numpy as jnp
+        from matryodshka_tpu.geometry.cameras import interpolate_pose
+        interp = np.stack([
+            np.asarray(interpolate_pose(jnp.asarray(r), jnp.asarray(s)))
+            for r, s in zip(ref, src)])
+        batch["interp_pose"] = interp
+        batch["ref_pose_inv"] = np.linalg.inv(interp)
+        batch["scene_id"] = [e["scene_id"] for e in examples]
+        batch["image_ids"] = [e["image_ids"] for e in examples]
+        return batch
+
+    def batches(self) -> Iterator[Dict[str, Array]]:
+        if self.training:
+            def it():
+                while True:
+                    for i in self.rng.permutation(len(self.sequences)):
+                        yield self.sequences[i]
+            seq_iter = it()
+        else:
+            seq_iter = iter(self.sequences)
+        while True:
+            seqs = list(itertools.islice(seq_iter, self.cfg.batch_size))
+            if len(seqs) < self.cfg.batch_size:
+                return
+            yield self._format_batch([self._load_example(s) for s in seqs])
+
+
 class RealEstateLoader:
     """RealEstate10K loader with the reference's augmentations
     (loader.py:47-183, data_loader.py:245-381): random subsequence of

@@ -67,6 +67,31 @@ def make_ods_fixture(out_dir: str, num_scenes: int = 2, height: int = 64,
     return os.path.join(cam_dir, "*.txt")
 
 
+def make_perspective_fixture(out_dir: str, num_scenes: int = 2,
+                             height: int = 64, width: int = 64,
+                             seed: int = 0) -> str:
+    """Replica perspective (PP) layout: same image naming as ODS, camera
+    lines 'scene img1 img2 img3 input_offset tgt_offset'."""
+    img_dir = os.path.join(out_dir, "images")
+    cam_dir = os.path.join(out_dir, "cams")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(cam_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for s in range(num_scenes):
+        scene = f"ppscene{s:02d}"
+        tex = erp_texture(height, width, seed=seed + 50 + s)
+        lines = []
+        ids = ["a", "b", "c"]
+        for k, iid in enumerate(ids):
+            img = np.roll(tex, k * 2, axis=1)
+            write_image(os.path.join(img_dir, f"{scene}_pos{iid}.jpeg"),
+                        img)
+        lines.append(f"{scene} a b c 0.1 0.05")
+        with open(os.path.join(cam_dir, f"{scene}.txt"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return os.path.join(cam_dir, "*.txt")
+
+
 def make_realestate_fixture(out_dir: str, num_seqs: int = 1,
                             frames: int = 12, height: int = 64,
                             width: int = 128, seed: int = 0) -> str:

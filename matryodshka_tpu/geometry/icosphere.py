@@ -1,0 +1,189 @@
+"""Icosphere meshes + pixel-to-vertex barycentric lookup tables.
+
+The reference loads pre-pickled Pixel2Mesh assets (sphere{subdiv}.dat with
+vertex coords + GCN support matrices, p2v{subdiv}.npy with a per-pixel
+(3 vertices, 3 barycentric weights) lookup — matryodshka/utils.py:36-53).
+Those assets are generated here from scratch:
+
+  * icosphere(subdiv): subdivided icosahedron, V = 10*4^s + 2 unit
+    vertices (s=7 -> 163842, the reference's default).
+  * support matrices: [I, D^-1/2 A D^-1/2] (symmetric-normalized
+    adjacency), the standard 2-term GCN support stack.
+  * p2v(subdiv, H, W): for every ERP pixel direction, the containing
+    triangle's 3 vertex ids + barycentric weights (gnomonic projection),
+    found via nearest-vertex + incident-face search.
+
+Results are cached as .npz under a mesh dir.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from matryodshka_tpu.geometry.grids import lat_long_grid
+
+
+def icosahedron() -> Tuple[np.ndarray, np.ndarray]:
+    t = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], dtype=np.int64)
+    return verts, faces
+
+
+def icosphere(subdiv: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Subdivide the icosahedron `subdiv` times; vertices on the unit
+    sphere. Returns (verts [V, 3] float32, faces [F, 3] int64)."""
+    verts, faces = icosahedron()
+    for _ in range(subdiv):
+        edge_mid: Dict[Tuple[int, int], int] = {}
+        new_verts = [v for v in verts]
+
+        def midpoint(a: int, b: int) -> int:
+            key = (a, b) if a < b else (b, a)
+            if key in edge_mid:
+                return edge_mid[key]
+            m = verts[a] + verts[b]
+            m = m / np.linalg.norm(m)
+            idx = len(new_verts)
+            new_verts.append(m)
+            edge_mid[key] = idx
+            return idx
+
+        new_faces = []
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        verts = np.asarray(new_verts)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    return verts.astype(np.float32), faces
+
+
+def adjacency(num_verts: int, faces: np.ndarray) -> Tuple[np.ndarray,
+                                                          np.ndarray]:
+    """Undirected edge list (rows, cols) without duplicates."""
+    edges = set()
+    for a, b, c in faces:
+        for i, j in ((a, b), (b, c), (c, a)):
+            edges.add((int(i), int(j)))
+            edges.add((int(j), int(i)))
+    e = np.asarray(sorted(edges), dtype=np.int64)
+    return e[:, 0], e[:, 1]
+
+
+def support_matrices(verts: np.ndarray, faces: np.ndarray
+                     ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """GCN supports as COO triples (rows, cols, vals):
+    [identity, D^-1/2 A D^-1/2]."""
+    v = len(verts)
+    rows, cols = adjacency(v, faces)
+    deg = np.bincount(rows, minlength=v).astype(np.float64)
+    norm = 1.0 / np.sqrt(deg)
+    vals = (norm[rows] * norm[cols]).astype(np.float32)
+    eye_idx = np.arange(v, dtype=np.int64)
+    ident = (eye_idx, eye_idx, np.ones(v, np.float32))
+    return [ident, (rows, cols, vals)]
+
+
+def _pixel_dirs(height: int, width: int) -> np.ndarray:
+    """Unit directions of ERP pixel centers, matching the sweep/render
+    parameterization (grids.spherical_ray_dirs)."""
+    S, T = lat_long_grid((height, width))
+    S, T = np.asarray(S, np.float64), np.asarray(T, np.float64)
+    cosT = np.cos(T)
+    return np.stack([np.cos(S) * cosT, np.sin(T), np.sin(S) * cosT],
+                    axis=-1)
+
+
+def pixel_to_vertex_lookup(verts: np.ndarray, faces: np.ndarray,
+                           height: int, width: int) -> np.ndarray:
+    """For each pixel: [(v_id, w), x3] -> array [W, H, 3, 2] (the
+    reference's p2v layout, consumed by mesh_to_equirect at
+    projector.py:293-332: transposed WxH with (index, weight) pairs)."""
+    v = verts.astype(np.float64)
+    dirs = _pixel_dirs(height, width).reshape(-1, 3)
+
+    # vertex -> incident faces
+    vert_faces: List[List[int]] = [[] for _ in range(len(verts))]
+    for fi, f in enumerate(faces):
+        for vid in f:
+            vert_faces[int(vid)].append(fi)
+
+    # nearest vertex per pixel (chunked matmul argmax)
+    n = dirs.shape[0]
+    nearest = np.empty(n, np.int64)
+    chunk = 65536
+    for s in range(0, n, chunk):
+        d = dirs[s:s + chunk] @ v.T
+        nearest[s:s + chunk] = np.argmax(d, axis=1)
+
+    out = np.zeros((n, 3, 2), np.float64)
+    face_v = v[faces]  # [F, 3, 3]
+    for i in range(n):
+        d = dirs[i]
+        best_w, best_f = None, None
+        for fi in vert_faces[nearest[i]]:
+            a, b, c = face_v[fi]
+            # gnomonic barycentric: solve d ~ wa*a + wb*b + wc*c
+            M = np.stack([a, b, c], axis=1)
+            try:
+                w = np.linalg.solve(M, d)
+            except np.linalg.LinAlgError:
+                continue
+            if w.sum() <= 0:
+                continue
+            w = w / w.sum()
+            if best_w is None or w.min() > best_w.min():
+                best_w, best_f = w, fi
+            if w.min() >= -1e-9:
+                break
+        if best_w is None:
+            best_w = np.asarray([1.0, 0.0, 0.0])
+            best_f = vert_faces[nearest[i]][0]
+        best_w = np.clip(best_w, 0.0, None)
+        best_w = best_w / best_w.sum()
+        out[i, :, 0] = faces[best_f]
+        out[i, :, 1] = best_w
+
+    # [H*W, 3, 2] -> [H, W, 3, 2] -> reference layout [W, H, 3, 2]
+    return np.transpose(out.reshape(height, width, 3, 2),
+                        (1, 0, 2, 3)).astype(np.float32)
+
+
+def load_mesh_input(subdiv: int, height: int, width: int,
+                    cache_dir: str = "glob/train/gcn"):
+    """Generate-or-load (coords, supports, p2v) — the utils.py:36-53
+    surface, backed by generation instead of pickled assets."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"sphere{subdiv}_{height}x{width}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        supports = [(z[f"s{i}_rows"], z[f"s{i}_cols"], z[f"s{i}_vals"])
+                    for i in range(int(z["n_supports"]))]
+        return z["coords"], supports, z["p2v"]
+    verts, faces = icosphere(subdiv)
+    supports = support_matrices(verts, faces)
+    p2v = pixel_to_vertex_lookup(verts, faces, height, width)
+    blob = {"coords": verts, "p2v": p2v,
+            "n_supports": np.asarray(len(supports))}
+    for i, (r, c, vals) in enumerate(supports):
+        blob[f"s{i}_rows"], blob[f"s{i}_cols"], blob[f"s{i}_vals"] = \
+            r, c, vals
+    np.savez(path, **blob)
+    return verts, supports, p2v

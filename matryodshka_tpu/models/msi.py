@@ -195,6 +195,46 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
     return outputs
 
 
+def infer_gcn_msi(gcn_apply, gcn_params, cfg: MatryConfig,
+                  batch: Dict[str, Array], psv_depths: Array,
+                  mesh_coords: Array, p2v: Array) -> Dict[str, Array]:
+    """GCN-variant inference (msi.py:291-382, batch size 1).
+
+    Per-vertex double sweep -> 14-layer graph CNN -> barycentric scatter
+    to ERP -> blend_psv assembly against the pixel-grid PSV.
+
+    Note the GCN sweep's eye orders are -1 for ref / +1 for src — the
+    REVERSE of the pixel path — mirroring format_gcn_network_input
+    (msi.py:1087).
+    """
+    from matryodshka_tpu.geometry.sweep import gcn_sphere_sweep
+    from matryodshka_tpu.models.gcn import mesh_to_equirect
+
+    ref = preprocess_image(batch["ref_image"])
+    src = preprocess_image(batch["src_image"])
+    ref_pose_inv = batch["ref_pose_inv"]
+
+    vols = []
+    for i, (img, pose) in enumerate(((ref, batch["ref_pose"]),
+                                     (src, batch["src_pose"]))):
+        order = -1 if i % 2 == 0 else 1
+        cur_pose = jnp.einsum("bij,bjk->bik", pose, ref_pose_inv)
+        vols.append(gcn_sphere_sweep(img, order, psv_depths, mesh_coords,
+                                     cur_pose, batch["intrinsics"]))
+    vert_input = jnp.concatenate(vols, axis=-1)[0]   # [V, 2*P*3]
+
+    mesh_pred = gcn_apply(gcn_params, vert_input)    # [V, K]
+    msi_pred = mesh_to_equirect(mesh_pred, p2v)      # [1, H, W, K]
+
+    net_input = sweep_lib.format_network_input(
+        ref, src, batch["ref_pose"], batch["src_pose"], ref_pose_inv,
+        psv_depths, batch["intrinsics"], input_type=cfg.input_type)
+    outputs = assemble_rgba(cfg.which_color_pred, msi_pred, net_input,
+                            cfg.num_msi_planes)
+    outputs["psv"] = net_input
+    return outputs
+
+
 # ---------------------------------------------------------------------------
 # Batched rendering wrappers.
 #

@@ -36,8 +36,12 @@ Array = jax.Array
 
 
 def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
-                 elpips_fn: Optional[Callable] = None) -> Callable:
-    """Build loss_fn(params, batch, rng) -> (total_loss, aux dict)."""
+                 elpips_fn: Optional[Callable] = None,
+                 gcn_inputs=None) -> Callable:
+    """Build loss_fn(params, batch, rng) -> (total_loss, aux dict).
+
+    gcn_inputs: (mesh_coords, p2v) when cfg.gcn (see state.build_gcn).
+    """
 
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
@@ -63,8 +67,18 @@ def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
             jax.random.split(rng, 6)
         apply = lambda p, x: model_apply(p, x)
 
-        outputs = msi_lib.infer_msi(apply, params, cfg, batch, psv_depths,
-                                    with_hres=cfg.supervise_hrestgt)
+        if cfg.gcn:
+            assert gcn_inputs is not None, "cfg.gcn needs gcn_inputs"
+            assert not cfg.transform_inverse_reg, (
+                "the GCN path does not support transform-inverse reg "
+                "(reference: build_train_graph only jitters the CNN path)")
+            mesh_coords, p2v = gcn_inputs
+            outputs = msi_lib.infer_gcn_msi(apply, params, cfg, batch,
+                                            psv_depths, mesh_coords, p2v)
+        else:
+            outputs = msi_lib.infer_msi(apply, params, cfg, batch,
+                                        psv_depths,
+                                        with_hres=cfg.supervise_hrestgt)
         rgba = outputs["rgba_layers"]
         aux["rgba_layers"] = rgba
 
@@ -168,11 +182,12 @@ def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
 
 def make_train_step(cfg: MatryConfig, model_apply: Callable, tx,
                     elpips_fn: Optional[Callable] = None,
+                    gcn_inputs=None,
                     donate: bool = True) -> Callable:
     """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
     from matryodshka_tpu.training.state import TrainState
 
-    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn)
+    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn, gcn_inputs)
 
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
