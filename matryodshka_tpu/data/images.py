@@ -15,11 +15,20 @@ import numpy as np
 from PIL import Image
 
 
-def load_and_resize(path: str, height: int, width: int) -> np.ndarray:
+def load_and_resize(path: str, height: int, width: int,
+                    prefer_native: bool = True) -> np.ndarray:
     """Decode an image file and area-resize to (height, width).
 
-    Returns float32 [H, W, 3] in [0, 1].
+    Uses the native C++ runtime (runtime/libmatryio.so) for JPEGs when
+    built, else PIL. Returns float32 [H, W, 3] in [0, 1].
     """
+    if prefer_native and path.lower().endswith((".jpg", ".jpeg")):
+        from matryodshka_tpu.data import native
+        if native.native_available():
+            try:
+                return native.decode_resize(path, height, width)
+            except IOError:
+                pass  # fall through to PIL for odd files
     with Image.open(path) as im:
         im = im.convert("RGB")
         if im.size != (width, height):

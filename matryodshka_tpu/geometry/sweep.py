@@ -142,6 +142,19 @@ def format_network_input(ref_image: Array, src_image: Array,
     if jitter_pose_inv is not None:
         ref_pose_inv = jnp.einsum("bij,bjk->bik", ref_pose_inv,
                                   jitter_pose_inv)
+
+    # Fast fused path: ODS loaders hardcode identity ref/src poses
+    # (data_loader.py:146-157), so without jitter the sweep pose is
+    # exactly identity and the row-separable Pallas kernel applies.
+    if (use_pallas and input_type == "ODS" and jitter_pose_inv is None
+            and jax.default_backend() == "tpu"):
+        from matryodshka_tpu.ops import pallas_sweep
+        vols = [pallas_sweep.ods_sweep_identity(ref_image, 1, depths,
+                                                intrinsics),
+                pallas_sweep.ods_sweep_identity(src_image, -1, depths,
+                                                intrinsics)]
+        return jnp.concatenate(vols, axis=-1)
+
     sweep = (ods_sphere_sweep if input_type == "ODS"
              else perspective_plane_sweep)
     vols = []

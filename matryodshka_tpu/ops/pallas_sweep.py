@@ -1,0 +1,188 @@
+"""Pallas fused ODS sphere sweep for identity pose (the hot inference path).
+
+Structure exploited (verified numerically, see tests/test_pallas_sweep.py):
+with an identity sweep pose, the ODS projection's lookup field over an ERP
+grid is row-separable —
+
+  v(p, i, j) = v(p, i)                   (constant per plane-row)
+  u(p, i, j) = u0(p, i) - j              (unit-slope ramp, wraps mod W)
+  valid(p, i) = depth_p * cos(T_i) >= r  (the disc >= 0 condition)
+
+because the tangent-ray construction is rotationally symmetric about the
+y axis. So instead of 6.5M arbitrary gathers, each output row is:
+
+  1. two dynamic ROW slices of the source image (vertical bilinear taps),
+  2. one dynamic LANE slice from the doubled horizontally-flipped row
+     (the fractional circular shift), plus a static roll-by-1 for the
+     second horizontal tap,
+  3. a four-weight blend — all pure vector ops in VMEM.
+
+Per-row parameters (u0, v) are computed with the exact reference
+projection formulas (cameras.project_ods) evaluated at a single column,
+so results match the general gather path up to that path's own float32
+noise near the poles.
+
+Falls back to None (callers use the XLA gather path) off-TPU or when the
+pose is not statically known to be identity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matryodshka_tpu.geometry import cameras, grids
+
+Array = jax.Array
+
+
+def _row_params(order: int, depths: Array, intrinsics: Array,
+                height: int, width: int):
+    """Per-(plane, row) sweep parameters via the reference projection.
+
+    Returns dict of [P, H] arrays: y0, y1 (int32 vertical taps), fy,
+    shift (int32 lane-slice start), fx, valid (int32), and the park
+    value coordinates for invalid rows (the reference parks uv at (1,1)).
+    """
+    p = depths.shape[0]
+    S, T = grids.lat_long_grid((height, width))
+    # evaluate the exact projection at column 0 only: [P, H, 1]
+    S0 = S[:, :1]
+    T0 = T[:, :1]
+    pts = cameras.backproject_spherical(S0, T0, depths)
+    uv = cameras.project_ods(pts, order, None, intrinsics, width, height)
+    u0 = uv[..., 0, 0]                      # [P, H]
+    v = uv[..., 0, 1]                       # [P, H]
+
+    # validity: tangent exists iff the point's XZ radius >= circle radius
+    r = intrinsics[0, 0]
+    rho = depths[:, None] * jnp.cos(T0[None, :, 0])
+    valid = rho >= r
+
+    y0f = jnp.floor(v)
+    fy = v - y0f
+    y0 = jnp.mod(y0f.astype(jnp.int32), height)
+    y1 = jnp.mod(y0 + 1, height)
+
+    i0f = jnp.floor(u0)
+    fx = u0 - i0f
+    i0 = jnp.mod(i0f.astype(jnp.int32), width)
+    # out_a[j] = rowA[(i0 - j) mod W] = flipped_row[(j + W-1-i0) mod W]
+    shift = jnp.mod(width - 1 - i0, width)
+    return {"y0": y0, "y1": y1, "fy": fy.astype(jnp.float32),
+            "shift": shift, "fx": fx.astype(jnp.float32),
+            "valid": valid.astype(jnp.int32)}
+
+
+def _circ_shift_left(x, s, width: int):
+    """out[..., j] = x[..., (j + s) mod width] for a traced scalar s.
+
+    Mosaic only allows lane-dim dynamic slices at 128-aligned starts, so
+    arbitrary circular shifts are composed as a barrel shifter: one
+    conditional static lane-rotate per bit of s (10 for width <= 1024).
+    """
+    nbits = max(1, (width - 1).bit_length())
+    for b in range(nbits):
+        amt = 1 << b
+        bit = ((s >> b) & 1) > 0
+        # jnp.roll(x, width - amt)[j] = x[(j + amt) mod width]
+        rolled = pltpu.roll(x, (width - amt) % width, axis=x.ndim - 1)
+        x = jnp.where(bit, rolled, x)
+    return x
+
+
+def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fx_ref,
+                  valid_ref, img_ref, park_ref, out_ref, *,
+                  height: int, width: int):
+    """Grid: (P,). img_ref: [C, H, W] horizontally flipped source
+    (VMEM); params [P, H] whole-array in SMEM (TPU blocks must tile to
+    (8, 128), so per-plane slicing happens via program_id); park [C, 1]
+    row (VMEM [C, 1, W]); out_ref: [1, C, H, W]."""
+    c = img_ref.shape[0]
+    pid = pl.program_id(0)
+
+    def body(i, _):
+        y0 = y0_ref[pid, i]
+        y1 = y1_ref[pid, i]
+        fy = fy_ref[pid, i]
+        s = shift_ref[pid, i]
+        fx = fx_ref[pid, i]
+        valid = valid_ref[pid, i]
+
+        row0 = img_ref[:, pl.ds(y0, 1), :]
+        row1 = img_ref[:, pl.ds(y1, 1), :]
+        rowA = (1.0 - fy) * row0 + fy * row1          # [C, 1, W]
+        out_a = _circ_shift_left(rowA, s, width)
+        # second horizontal tap (i0+1-j) = out_a rotated one lane right
+        out_b = pltpu.roll(out_a, 1, axis=2)
+        out_row = (1.0 - fx) * out_a + fx * out_b
+        out_row = jnp.where(valid > 0, out_row, park_ref[:, :, :])
+        out_ref[0, :, pl.ds(i, 1), :] = out_row
+        return 0
+
+    jax.lax.fori_loop(0, height, body, 0)
+
+
+# imported lazily so CPU-only environments can import the module
+from jax.experimental import pallas as pl             # noqa: E402
+from jax.experimental.pallas import tpu as pltpu      # noqa: E402
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("order", "height", "width",
+                                    "interpret"))
+def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
+                           intrinsics: Array, height: int, width: int,
+                           interpret: bool = False) -> Array:
+    """One eye's sweep: image [H, W, C] -> [P, H, W, C]."""
+    p = depths.shape[0]
+    c = image.shape[-1]
+    params = _row_params(order, depths, intrinsics, height, width)
+    img_cf = jnp.transpose(image, (2, 0, 1))          # [C, H, W]
+    img_flipped = jnp.flip(img_cf, axis=2)
+    # invalid rows park at pixel (1, 1) like the reference; prebroadcast
+    park_row = jnp.broadcast_to(image[1, 1, :].reshape(c, 1, 1),
+                                (c, 1, width))
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel, height=height, width=width),
+        grid=(p,),
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+                  pl.BlockSpec((c, height, width), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, 1, width), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, height, width),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c, height, width),
+                                       jnp.float32),
+        interpret=interpret,
+    )(params["y0"], params["y1"], params["fy"], params["shift"],
+      params["fx"], params["valid"],
+      img_flipped.astype(jnp.float32), park_row.astype(jnp.float32))
+    return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
+
+
+def ods_sweep_identity(image: Array, order: int, depths: Array,
+                       intrinsics: Array,
+                       interpret: bool = False) -> Optional[Array]:
+    """Batched fused sweep: [B, H, W, C] -> [B, H, W, P*C].
+
+    Only valid for identity sweep poses (the standard ODS training and
+    inference configuration). Callers must guarantee that statically.
+    """
+    b, h, w, c = image.shape
+    p = depths.shape[0]
+    outs = []
+    for i in range(b):
+        vol = _ods_sweep_plane_stack(image[i], order, depths,
+                                     intrinsics[i], h, w,
+                                     interpret=interpret)
+        outs.append(jnp.transpose(vol, (1, 2, 0, 3)).reshape(h, w, p * c))
+    return jnp.stack(outs)
