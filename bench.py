@@ -22,6 +22,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Amortize the (slow, esp. remotely) TPU compiles across runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/matry_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship_cfg, _synthetic_batch
     from matryodshka_tpu.geometry import sweep as sweep_lib
     from matryodshka_tpu.models import msi as msi_lib

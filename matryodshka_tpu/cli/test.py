@@ -32,10 +32,21 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
     msi_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
 
+    gcn_inputs = None
+    if cfg.gcn:
+        from matryodshka_tpu.training import state as state_lib
+        _, mesh_coords, p2v = state_lib.build_gcn(cfg)
+        gcn_inputs = (mesh_coords, p2v)
+
     @jax.jit
     def infer(params, batch):
-        outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x), params,
-                                    cfg, batch, psv_depths)
+        if cfg.gcn:
+            outputs = msi_lib.infer_gcn_msi(
+                lambda p, x: model.apply(p, x), params, cfg, batch,
+                psv_depths, *gcn_inputs)
+        else:
+            outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x),
+                                        params, cfg, batch, psv_depths)
         rgba = outputs["rgba_layers"]
         b = rgba.shape[0]
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
