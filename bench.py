@@ -77,19 +77,33 @@ def main():
     rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,
                                  cfg.num_msi_planes)["rgba_layers"]
 
-    def timeit(fn, *args, iters=20, warmup=3):
+    # Through the remote-TPU relay, per-dispatch round trips (~25-35 ms)
+    # dwarf the compute; chain K frames inside ONE jit with a data
+    # dependency so the measurement is steady-state device time.
+    CHAIN = 20
+
+    @jax.jit
+    def e2e_chain(params, batch):
+        def body(_, ref):
+            b2 = dict(batch)
+            b2["ref_image"] = ref
+            out = e2e(params, b2)
+            return jnp.clip(out, 0.0, 1.0)
+        return jax.lax.fori_loop(0, CHAIN, body, batch["ref_image"])
+
+    def timeit(fn, *args, iters=5, warmup=2, chain=1):
         for _ in range(warmup):
             jax.block_until_ready(fn(*args))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1000.0
+        return (time.perf_counter() - t0) / (iters * chain) * 1000.0
 
-    ms_sweep = timeit(sweep_only, batch)
-    ms_net = timeit(net_only, state.params, net_input)
-    ms_render = timeit(render_only, rgba, batch["tgt_pose"])
-    ms_e2e = timeit(e2e, state.params, batch)
+    ms_sweep = timeit(sweep_only, batch, iters=20)
+    ms_net = timeit(net_only, state.params, net_input, iters=20)
+    ms_render = timeit(render_only, rgba, batch["tgt_pose"], iters=20)
+    ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)
 
     print(f"[bench] sweep={ms_sweep:.2f}ms net={ms_net:.2f}ms "
           f"render={ms_render:.2f}ms e2e={ms_e2e:.2f}ms", file=sys.stderr)

@@ -142,6 +142,8 @@ def main(argv=None):
     parser.add_argument("--pose2", type=str, default="")
     parser.add_argument("--clip_to_fp16", action="store_true")
     args = parser.parse_args(argv)
+    from matryodshka_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     cfg = config_from_args(args)
 
     state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))

@@ -210,6 +210,8 @@ def main(argv=None):
     parser.add_argument("--num_runs", type=int, default=-1)
     args = parser.parse_args(argv)
     from matryodshka_tpu.config import config_from_args
+    from matryodshka_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     cfg = config_from_args(args)
     assert cfg.batch_size == 1, "batch_size must be 1 when testing"
 

@@ -143,6 +143,8 @@ def main(argv=None):
     parser.add_argument("--profile_steps", type=str, default=None,
                         help="'start,stop' step window for jax.profiler")
     args = parser.parse_args(argv)
+    from matryodshka_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     cfg = config_from_args(args)
     print(f"[train] devices: {jax.devices()}")
 

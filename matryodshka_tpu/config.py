@@ -163,6 +163,18 @@ class MatryConfig:
         return dataclasses.replace(self, **kw)
 
 
+def enable_compilation_cache(path: str = "/tmp/matry_jax_cache_tpu"):
+    """Persistent XLA compilation cache — load-bearing when compiles are
+    remote (minutes each); harmless elsewhere."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------

@@ -91,31 +91,78 @@ class MSIUNet(nn.Module):
     num_outputs: int
     ngf: int = 64
     variant: str = "wrap"
+    smoothed: bool = False   # NN-upsample + conv instead of conv_transpose
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     def _conv(self, x: Array, feats: int, name: str, stride: int = 1,
               rate: int = 1) -> Array:
-        """3x3 conv + layer norm + relu, padded per variant."""
+        """3x3 conv + layer norm + relu, padded per variant.
+
+        The wrap variant is computed WITHOUT materializing wrap-padded
+        activation copies (the reference's wrap_pad, nets.py:288-295,
+        copies every activation): the conv runs with implicit zero
+        padding (identical to wrap_pad's vertical zeros), and the columns
+        whose horizontal taps wrap are recomputed exactly from a narrow
+        strip around the seam with the SAME kernel, then spliced in.
+        """
         if self.variant == "coord":
             b, h, w, _ = x.shape
             coord = jnp.broadcast_to(
                 sph_coord_channel(h, w, x.dtype), (b, h, w, 1))
             x = jnp.concatenate([x, coord], axis=-1)
-            pad = "SAME"
+            y = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding="SAME", kernel_dilation=(rate, rate),
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=name)(x)
         else:
-            x = wrap_pad(x, rate, rate)
-            pad = "VALID"
-        y = nn.Conv(feats, (3, 3), strides=(stride, stride), padding=pad,
-                    kernel_dilation=(rate, rate), dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=name)(x)
+            conv = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                           padding=((rate, rate), (rate, rate)),
+                           kernel_dilation=(rate, rate), dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name)
+            y = conv(x)
+            # exact seam recompute from a narrow wrap strip, SAME module
+            # (shared parameters); interior strip outputs see only real
+            # (wrapped) data, never the strip's own zero padding
+            if stride == 1:
+                r = rate
+                strip = jnp.concatenate(
+                    [x[:, :, -2 * r:], x[:, :, :2 * r]], axis=2)
+                y_strip = conv(strip)   # [B, H, 4r, F]; interior [r, 3r)
+                y = y.at[:, :, -r:].set(y_strip[:, :, r:2 * r])
+                y = y.at[:, :, :r].set(y_strip[:, :, 2 * r:3 * r])
+            else:
+                # stride 2, rate 1: only output column 0 wraps (reads
+                # x[:, :, W-1]); the right seam never wraps for even W.
+                strip = jnp.concatenate(
+                    [x[:, :, -2:], x[:, :, :2]], axis=2)
+                y_strip = conv(strip)   # strip output col 1 reads
+                y = y.at[:, :, :1].set(y_strip[:, :, 1:2])  # [W-1, 0, 1]
         y = SpatialLayerNorm(param_dtype=self.param_dtype,
                              name=name + "_ln")(y)
         return nn.relu(y)
 
     def _deconv(self, x: Array, feats: int, name: str) -> Array:
-        """4x4 stride-2 transposed conv + layer norm + relu."""
-        if self.variant == "coord":
+        """4x4 stride-2 upsampling conv + layer norm + relu.
+
+        smoothed=True replaces the transposed conv with nearest-neighbor
+        2x upsampling followed by a 4x4 conv (the checkerboard-free
+        export option, nets.py:186-203, pad [1, 2, 1, 2])."""
+        if self.smoothed:
+            b, h, w, c = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            if self.variant == "coord":
+                y = nn.Conv(feats, (4, 4), padding=((1, 2), (1, 2)),
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=name)(x)
+            else:
+                left = x[:, :, -1:]
+                right = x[:, :, :2]
+                x = jnp.concatenate([left, x, right], axis=2)
+                y = nn.Conv(feats, (4, 4), padding=((1, 2), (0, 0)),
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=name)(x)
+        elif self.variant == "coord":
             y = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype,
                                  param_dtype=self.param_dtype, name=name)(x)

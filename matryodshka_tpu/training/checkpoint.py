@@ -44,13 +44,21 @@ class CheckpointManager:
     def restore_params(self, step: Optional[int] = None):
         """Restore only the parameter pytree (test/export paths).
 
-        Returns (params, step). Restores without a target spec, so the
-        result is a plain pytree of numpy arrays.
+        Returns (params, step). Arrays come back as host numpy, which
+        makes checkpoints portable across backends (a TPU-saved
+        checkpoint restores on CPU and vice versa — checkpoint sharding
+        metadata pins devices otherwise).
         """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self.mngr.restore(step)
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
         if isinstance(restored, dict):
             return restored["params"], int(np.asarray(restored["step"]))
         return restored.params, int(np.asarray(restored.step))

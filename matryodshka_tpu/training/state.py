@@ -27,6 +27,7 @@ def build_model(cfg: MatryConfig) -> MSIUNet:
         num_outputs=cfg.num_net_outputs(),
         ngf=cfg.ngf,
         variant="coord" if cfg.coord_net else "wrap",
+        smoothed=cfg.smoothed,
         dtype=cfg.jnp_compute_dtype,
         param_dtype=cfg.jnp_param_dtype,
     )

@@ -115,3 +115,14 @@ def test_num_net_outputs_table():
     assert cfg.replace(which_color_pred="blend_bg_psv").num_net_outputs() \
         == 99
     assert cfg.replace(which_color_pred="alpha_only").num_net_outputs() == 32
+
+
+@pytest.mark.parametrize("variant", ["wrap", "coord"])
+def test_unet_smoothed_deconv(variant):
+    h, w, p = 32, 64, 2
+    model = MSIUNet(num_outputs=2 * p, ngf=8, variant=variant,
+                    smoothed=True, dtype=jnp.float32)
+    x = jnp.zeros((1, h, w, 2 * p * 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, h, w, 2 * p)
