@@ -110,8 +110,8 @@ def build_hres_render_fn(cfg: MatryConfig):
                 intrinsics, input_type=cfg.input_type)
             fg = net_in[..., 0:3]
             bg = net_in[..., 3:6]
-            wgt = u_blend[..., p:p + 1]
-            alpha = u_alpha[..., p:p + 1]
+            wgt = jax.lax.dynamic_slice_in_dim(u_blend, p, 1, axis=3)
+            alpha = jax.lax.dynamic_slice_in_dim(u_alpha, p, 1, axis=3)
             rgb = wgt * fg + (1.0 - wgt) * bg
             rgba = jnp.concatenate([rgb, alpha], -1)[:, :, :, None, :]
             proj = jax.vmap(
