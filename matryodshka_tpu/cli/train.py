@@ -171,16 +171,31 @@ def main(argv=None):
     if cfg.gcn:
         _, mesh_coords, p2v = state_lib.build_gcn(cfg)
         gcn_inputs = (mesh_coords, p2v)
-    step_fn = make_train_step(cfg, model.apply, tx,
-                              elpips_fn=build_elpips_fn(cfg),
-                              gcn_inputs=gcn_inputs)
+    if cfg.num_data_shards > 1:
+        from matryodshka_tpu.parallel import dp, mesh as mesh_lib
+        assert not cfg.gcn, "GCN + data parallelism not supported yet"
+        assert cfg.batch_size % cfg.num_data_shards == 0, (
+            "batch_size must divide evenly across data shards")
+        dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
+        step_fn_raw = dp.make_dp_train_step(
+            cfg, model.apply, tx, dmesh,
+            elpips_fn=build_elpips_fn(cfg))
+        batch_sharding = mesh_lib.batch_sharding(dmesh)
+        print(f"[train] data-parallel over {cfg.num_data_shards} devices")
+        step_fn = step_fn_raw
+    else:
+        batch_sharding = None
+        step_fn = make_train_step(cfg, model.apply, tx,
+                                  elpips_fn=build_elpips_fn(cfg),
+                                  gcn_inputs=gcn_inputs)
 
     image_fn = None if cfg.gcn else make_image_summary_fn(cfg, model.apply)
     profile_steps = None
     if args.profile_steps:
         a, b = args.profile_steps.split(",")
         profile_steps = (int(a), int(b))
-    batches = device_prefetch(loader.batches(), size=2)
+    batches = device_prefetch(loader.batches(), size=2,
+                              sharding=batch_sharding)
     loop_lib.train(cfg, state, step_fn, batches,
                    image_summary_fn=image_fn,
                    profile_steps=profile_steps)

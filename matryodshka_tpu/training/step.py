@@ -65,7 +65,12 @@ def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
         aux: Dict[str, Array] = {}
         rng_jit, rng_l1, rng_l2, rng_l3, rng_l4, rng_l5 = \
             jax.random.split(rng, 6)
-        apply = lambda p, x: model_apply(p, x)
+        if cfg.remat_network:
+            # rematerialize U-Net activations in the backward pass
+            # (jax.checkpoint trades FLOPs for HBM at high resolutions)
+            apply = jax.checkpoint(lambda p, x: model_apply(p, x))
+        else:
+            apply = lambda p, x: model_apply(p, x)
 
         if cfg.gcn:
             assert gcn_inputs is not None, "cfg.gcn needs gcn_inputs"

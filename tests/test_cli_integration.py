@@ -1,0 +1,76 @@
+"""End-to-end CLI integration: train -> resume -> test -> eval -> export
+on synthetic fixtures, exactly as a user would run them."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from matryodshka_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clifix")
+    glob_pat = synthetic.make_ods_fixture(str(root), num_scenes=2,
+                                          height=32, width=64)
+    return str(root), glob_pat
+
+
+def common_flags(root, glob_pat, ckpt):
+    return ["--image_dir", os.path.join(root, "images"),
+            "--cameras_glob", glob_pat,
+            "--height", "32", "--width", "64",
+            "--num_psv_planes", "3", "--num_msi_planes", "3",
+            "--ngf", "8", "--compute_dtype", "float32",
+            "--checkpoint_dir", ckpt, "--experiment_name", "cli"]
+
+
+def test_full_cli_lifecycle(fixture, tmp_path):
+    root, glob_pat = fixture
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    flags = common_flags(root, glob_pat, ckpt)
+
+    from matryodshka_tpu.cli.train import main as train_main
+    train_main(flags + ["--max_steps", "4", "--summary_freq", "2",
+                        "--save_latest_freq", "100"])
+    # resume
+    train_main(flags + ["--max_steps", "6", "--summary_freq", "2",
+                        "--save_latest_freq", "100",
+                        "--continue_train", "true"])
+
+    from matryodshka_tpu.cli.test import main as test_main
+    test_main(flags + ["--output_root", out, "--num_runs", "2",
+                       "--test_outputs",
+                       "tgt_image_blend_weights_alphas_rgba_layers"])
+    dirs = [d for d in os.listdir(os.path.join(out, "cli"))
+            if os.path.isdir(os.path.join(out, "cli", d))]
+    assert len(dirs) == 2
+    assert os.path.exists(os.path.join(out, "cli", dirs[0],
+                                       "blend_weights.npy"))
+
+    from matryodshka_tpu.cli.evaluate import main as eval_main
+    eval_main(["--result_root", os.path.join(out, "cli")])
+    table = json.load(open(os.path.join(out, "cli", "eval_reg.json")))
+    assert "avg_psnr" in table and np.isfinite(table["avg_psnr"])
+
+    from matryodshka_tpu.cli.export import main as export_main
+    export_main(flags + ["--export_dir", str(tmp_path / "exp"),
+                         "--platform", "cpu"])
+    assert os.path.exists(str(tmp_path / "exp" / "msi_model.stablehlo"))
+
+
+def test_cli_data_parallel_training(fixture, tmp_path):
+    """--num_data_shards 2 on the virtual CPU mesh."""
+    root, glob_pat = fixture
+    ckpt = str(tmp_path / "ckpt_dp")
+    flags = common_flags(root, glob_pat, ckpt)
+    from matryodshka_tpu.cli.train import main as train_main
+    train_main(flags + ["--max_steps", "2", "--summary_freq", "1",
+                        "--save_latest_freq", "100",
+                        "--batch_size", "2", "--num_data_shards", "2"])
+    metrics = open(os.path.join(ckpt, "cli", "logs",
+                                "metrics.jsonl")).read().strip()
+    assert metrics, "no metrics written"

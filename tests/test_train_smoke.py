@@ -101,3 +101,10 @@ def test_train_step_elpips_loss():
                                   p, t, k), donate=False)
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_train_step_remat():
+    cfg = tiny_cfg(remat_network=True)
+    batch = synthetic_batch(cfg)
+    _, losses = run_steps(cfg, batch, n=2)
+    assert all(np.isfinite(l) for l in losses), losses
