@@ -1,19 +1,20 @@
-"""Pallas fused bilinear-wrap resampling (stub dispatch for now).
+"""Pallas kernel dispatch seam for general bilinear-wrap resampling.
 
-The hot op of the whole pipeline is "gather one [H, W, C] image at a
-[P, H, W, 2] fractional coordinate stack with wrap-around" — it runs twice
-per sweep (2 eyes x 32 planes) and once per rendered view (32 shells).
+The realized fused kernel lives in ops/pallas_sweep.py: the ODS sweep's
+identity-pose warp is row-separable, so it compiles to dynamic row slices
++ barrel-composed lane rotates (zero gathers, ~5x the XLA gather path).
 
-Plan (see pallas guide): keep the source image resident in VMEM
-(640*320*4 * f32 = 3.3 MB, fits), stream coordinate tiles through a grid
-over (plane, row-tile), and do the 4-tap gather + blend entirely on-chip so
-HBM sees each source pixel once instead of 4*P times.
+The GENERAL warp (arbitrary per-pixel coordinates — the novel-view render
+path) currently stays on the XLA quad-packed gather in ops/resample.py,
+which runs at the measured gather floor (~2.7 ns per gathered row on
+v5e). A general fused kernel is blocked on this Mosaic version's missing
+in-kernel gather primitives (jnp.take_along_axis fails to lower on either
+axis; dynamic lane slices require provably 128-aligned starts); the
+round-2 plan (STATUS.md) is a barrel-shift + residual select-ladder
+kernel bounded by the render's parallax magnitude.
 
-Dynamic per-element gathers inside Pallas TPU kernels need care; until the
-fused kernel lands, `resample_stack_pallas` returns None and callers fall
-back to the XLA gather path in ops/resample.py (which XLA already fuses
-reasonably). This module is the seam where the kernel drops in without
-touching any call sites.
+`resample_stack_pallas` returns None so callers fall back — the seam
+stays so call sites don't change when the kernel lands.
 """
 
 from __future__ import annotations
@@ -26,5 +27,5 @@ Array = jax.Array
 
 
 def resample_stack_pallas(image: Array, coords: Array) -> Optional[Array]:
-    """Fused resample; returns None when unavailable (caller falls back)."""
+    """General fused resample; None = unavailable (use the XLA path)."""
     return None

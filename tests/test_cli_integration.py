@@ -74,3 +74,29 @@ def test_cli_data_parallel_training(fixture, tmp_path):
     metrics = open(os.path.join(ckpt, "cli", "logs",
                                 "metrics.jsonl")).read().strip()
     assert metrics, "no metrics written"
+
+
+def test_cli_video_mode_and_temporal_eval(fixture, tmp_path):
+    """on_video test naming + video-mode temporal-consistency eval."""
+    root, glob_pat = fixture
+    ckpt = str(tmp_path / "ckpt_v")
+    out = str(tmp_path / "out_v")
+    flags = common_flags(root, glob_pat, ckpt)
+
+    from matryodshka_tpu.cli.train import main as train_main
+    train_main(flags + ["--max_steps", "2", "--summary_freq", "1",
+                        "--save_latest_freq", "100"])
+    from matryodshka_tpu.cli.test import main as test_main
+    test_main(flags + ["--output_root", out, "--num_runs", "3",
+                       "--test_type", "on_video",
+                       "--test_outputs", "tgt_image"])
+    dirs = sorted(d for d in os.listdir(os.path.join(out, "cli"))
+                  if d.startswith("video_"))
+    assert len(dirs) == 3
+
+    from matryodshka_tpu.cli.evaluate import main as eval_main
+    eval_main(["--result_root", os.path.join(out, "cli"),
+               "--eval_type", "video"])
+    table = json.load(open(os.path.join(out, "cli", "eval_video.json")))
+    assert table["avg_rgb_diff"] is not None
+    assert np.isfinite(table["avg_rgb_diff"])
