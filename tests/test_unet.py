@@ -126,3 +126,19 @@ def test_unet_smoothed_deconv(variant):
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x)
     assert y.shape == (1, h, w, 2 * p)
+
+
+def test_atlas_pack_layout():
+    """Export atlas: channels -> 8x(C/8) mosaic (nets.py:370-385)."""
+    from matryodshka_tpu.models.unet import atlas_pack
+    h, w, c = 4, 6, 16
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(1, h, w, c).astype(np.float32))
+    atlas = np.asarray(atlas_pack(pred, h, w, channels=c))
+    assert atlas.shape == (1, 8 * h, (c // 8) * w)
+    # channel k lives at tile (row k // (c//8), col k % (c//8))
+    for k in range(c):
+        r, col = k // (c // 8), k % (c // 8)
+        np.testing.assert_allclose(
+            atlas[0, r * h:(r + 1) * h, col * w:(col + 1) * w],
+            np.asarray(pred[0, :, :, k]), rtol=1e-6)
