@@ -78,14 +78,16 @@ def _row_params(order: int, depths: Array, intrinsics: Array,
             "valid": valid.astype(jnp.int32)}
 
 
-def _circ_shift_left(x, s, width: int):
+def _circ_shift_left(x, s, width: int, nbits: int | None = None):
     """out[..., j] = x[..., (j + s) mod width] for a traced scalar s.
 
     Mosaic only allows lane-dim dynamic slices at 128-aligned starts, so
     arbitrary circular shifts are composed as a barrel shifter: one
-    conditional static lane-rotate per bit of s (10 for width <= 1024).
+    conditional static lane-rotate per bit of s. Pass nbits when s is
+    known bounded (< 2^nbits).
     """
-    nbits = max(1, (width - 1).bit_length())
+    if nbits is None:
+        nbits = max(1, (width - 1).bit_length())
     for b in range(nbits):
         amt = 1 << b
         bit = ((s >> b) & 1) > 0
@@ -101,7 +103,15 @@ def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fx_ref,
     """Grid: (P,). img_ref: [C, H, W] horizontally flipped source
     (VMEM); params [P, H] whole-array in SMEM (TPU blocks must tile to
     (8, 128), so per-plane slicing happens via program_id); park [C, 1]
-    row (VMEM [C, 1, W]); out_ref: [1, C, H, W]."""
+    row (VMEM [C, 1, W]); out_ref: [1, C, H, W].
+
+    Note: a 128-aligned dynamic slice from a doubled row + short barrel
+    (see tests/test_pallas_sweep.py::test_aligned_shift_bit_exact) was
+    measured IDENTICAL in speed to the plain 10-bit barrel here (the
+    scratch writes cost what the saved rolls gained), so the simpler
+    form stays. The aligned-slice technique remains relevant for the
+    planned render kernel where the shifted row is reused many times.
+    """
     c = img_ref.shape[0]
     pid = pl.program_id(0)
 
@@ -117,7 +127,7 @@ def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fx_ref,
         row1 = img_ref[:, pl.ds(y1, 1), :]
         rowA = (1.0 - fy) * row0 + fy * row1          # [C, 1, W]
         out_a = _circ_shift_left(rowA, s, width)
-        # second horizontal tap (i0+1-j) = out_a rotated one lane right
+        # second horizontal tap (i0+1-j): out_a rotated one lane right
         out_b = pltpu.roll(out_a, 1, axis=2)
         out_row = (1.0 - fx) * out_a + fx * out_b
         out_row = jnp.where(valid > 0, out_row, park_ref[:, :, :])

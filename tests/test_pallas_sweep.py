@@ -44,3 +44,60 @@ def test_fused_sweep_invalid_rows_match():
     got = np.asarray(pallas_sweep.ods_sweep_identity(
         img, 1, depths, intr, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_fused_sweep_wide_image_aligned_path():
+    """Exercise the 128-aligned-slice + short-barrel path (W > 128)."""
+    h, w, p = 16, 256, 3
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, p))
+    eye = jnp.eye(4)[None]
+    intr = jnp.asarray([[0.05, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                       dtype=jnp.float32)[None]
+    ref = np.asarray(sweep_lib.ods_sphere_sweep(img, -1, depths, eye,
+                                                intr))
+    got = np.asarray(pallas_sweep.ods_sweep_identity(
+        img, -1, depths, intr, interpret=True))
+    err = np.abs(got - ref)
+    # the shift path is bit-exact (see test_aligned_shift_bit_exact);
+    # residual error is the f32 coordinate noise of both paths, which is
+    # pole-concentrated and this config is 16 rows tall (12.5% pole rows)
+    assert err.mean() < 5e-4
+    assert np.percentile(err, 95) < 2e-3
+
+
+def test_aligned_shift_bit_exact():
+    """The 128-aligned slice + short barrel equals a plain circular
+    shift for every amount (pure data movement, no arithmetic)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from matryodshka_tpu.ops.pallas_sweep import _circ_shift_left
+
+    C, W = 3, 256
+    window = W + 128
+    rng = np.random.RandomState(0)
+    row = jnp.asarray(rng.rand(C, 1, W).astype(np.float32))
+
+    def kern(s_ref, row_ref, out_ref, scratch_ref):
+        s = s_ref[0]
+        scratch_ref[:, :, 0:W] = row_ref[:, :, :]
+        scratch_ref[:, :, W:2 * W] = row_ref[:, :, :]
+        s_hi = pl.multiple_of((s // 128) * 128, 128)
+        win = scratch_ref[:, :, pl.ds(s_hi, window)]
+        out_ref[:, :, :] = _circ_shift_left(win, s - s_hi, window,
+                                            nbits=7)[:, :, 0:W]
+
+    for s in range(0, W, 13):
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, 1, W), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((C, 1, 2 * W), jnp.float32)],
+            interpret=True,
+        )(jnp.asarray([s], jnp.int32), row)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.roll(np.asarray(row), -s, axis=2))

@@ -89,19 +89,20 @@ def main():
     apply = lambda p, x: model.apply(p, x)
 
     def sweep_step(img):
-        b2 = dict(batch)
-        b2["ref_image"] = img
         net_in = sweep_lib.format_network_input(
             msi_lib.preprocess_image(img),
             msi_lib.preprocess_image(batch["src_image"]),
             batch["ref_pose"], batch["src_pose"], batch["ref_pose_inv"],
             psv_depths, batch["intrinsics"], use_pallas=cfg.use_pallas)
-        return net_in[..., :3] * 0.5 + 0.25  # feed something image-like
+        # reduce over ALL channels so XLA cannot dead-code either eye
+        m = jnp.mean(net_in, axis=-1, keepdims=True)
+        return img * 0.9 + m * 0.1
 
     def net_step(img):
         net_in = jnp.tile(img, (1, 1, 1, cfg.num_net_inputs() // 3))
         pred = apply(state.params, net_in * 2 - 1)
-        return pred[..., :3] * 0.5 + 0.5
+        m = jnp.mean(pred, axis=-1, keepdims=True)
+        return img * 0.9 + (m * 0.5 + 0.5) * 0.1
 
     def assemble_step(img):
         net_in = jnp.tile(img * 2 - 1, (1, 1, 1,
@@ -111,7 +112,8 @@ def main():
                         )[..., :cfg.num_net_outputs()]
         rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_in,
                                      cfg.num_msi_planes)["rgba_layers"]
-        return rgba[:, :, :, 0, :3]
+        m = jnp.mean(rgba, axis=(3, 4), keepdims=False)[..., None]
+        return img * 0.9 + m * 0.1
 
     def render_step(img):
         rgba = jnp.tile(img[:, :, :, None, :],
