@@ -97,44 +97,79 @@ def _circ_shift_left(x, s, width: int, nbits: int | None = None):
     return x
 
 
-def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fx_ref,
-                  valid_ref, img_ref, park_ref, out_ref, *,
+def _circ_shift_left_rows(x, s_vec, width: int):
+    """Per-row circular left shift of a row BLOCK.
+
+    x: [C, R, W]; s_vec: [1, R, 1] int32 — row r shifts by s_vec[r].
+    pltpu.roll rotates each lane-row independently by the same amount,
+    so one conditional roll per bit with a PER-ROW selection mask
+    vectorizes the barrel across the whole block.
+    """
+    nbits = max(1, (width - 1).bit_length())
+    for b in range(nbits):
+        amt = 1 << b
+        bit = ((s_vec >> b) & 1) > 0        # [1, R, 1] bool
+        rolled = pltpu.roll(x, (width - amt) % width, axis=x.ndim - 1)
+        x = jnp.where(bit, rolled, x)
+    return x
+
+
+_ROW_BLOCK = 8
+
+
+def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fxv_ref, validv_ref,
+                  shiftv_ref, img_ref, park_ref, out_ref, scratch_ref, *,
                   height: int, width: int):
     """Grid: (P,). img_ref: [C, H, W] horizontally flipped source
-    (VMEM); params [P, H] whole-array in SMEM (TPU blocks must tile to
-    (8, 128), so per-plane slicing happens via program_id); park [C, 1]
-    row (VMEM [C, 1, W]); out_ref: [1, C, H, W].
+    (VMEM); y0/y1/fy/shift: [P, H] scalars in SMEM; fxv/validv/shiftv:
+    [P, H, 1] VMEM vectors (the same per-row params in vector form);
+    park: [C, 1, W] VMEM; out_ref: [1, C, H, W]; scratch: [C, RB, W].
 
-    Note: a 128-aligned dynamic slice from a doubled row + short barrel
-    (see tests/test_pallas_sweep.py::test_aligned_shift_bit_exact) was
-    measured IDENTICAL in speed to the plain 10-bit barrel here (the
-    scratch writes cost what the saved rolls gained), so the simpler
-    form stays. The aligned-slice technique remains relevant for the
-    planned render kernel where the shifted row is reused many times.
+    Rows are processed in blocks of _ROW_BLOCK: the vertical taps are
+    assembled per row (dynamic row slices + scalar fy blend into the
+    scratch block), then the barrel shifter, second-tap roll, fractional
+    blend and validity select all run block-wide — per-row variation is
+    handled by [1, RB, 1] masks, so every vector op works on
+    C*RB*W-element tiles instead of C*W.
+
+    (A 128-aligned dynamic slice + short barrel measured no faster than
+    the plain barrel per-row; block vectorization is the win. See
+    tests/test_pallas_sweep.py::test_aligned_shift_bit_exact.)
     """
     c = img_ref.shape[0]
     pid = pl.program_id(0)
+    n_blocks = height // _ROW_BLOCK
 
-    def body(i, _):
-        y0 = y0_ref[pid, i]
-        y1 = y1_ref[pid, i]
-        fy = fy_ref[pid, i]
-        s = shift_ref[pid, i]
-        fx = fx_ref[pid, i]
-        valid = valid_ref[pid, i]
+    def block_body(blk, _):
+        base = blk * _ROW_BLOCK
 
-        row0 = img_ref[:, pl.ds(y0, 1), :]
-        row1 = img_ref[:, pl.ds(y1, 1), :]
-        rowA = (1.0 - fy) * row0 + fy * row1          # [C, 1, W]
-        out_a = _circ_shift_left(rowA, s, width)
-        # second horizontal tap (i0+1-j): out_a rotated one lane right
+        def fill_row(r, _):
+            i = base + r
+            y0 = y0_ref[pid, i]
+            y1 = y1_ref[pid, i]
+            fy = fy_ref[pid, i]
+            row0 = img_ref[:, pl.ds(y0, 1), :]
+            row1 = img_ref[:, pl.ds(y1, 1), :]
+            scratch_ref[:, pl.ds(r, 1), :] =                 (1.0 - fy) * row0 + fy * row1
+            return 0
+
+        jax.lax.fori_loop(0, _ROW_BLOCK, fill_row, 0)
+
+        s_vec = shiftv_ref[pid, pl.ds(base, _ROW_BLOCK), :]   # [RB, 1]
+        fx_vec = fxv_ref[pid, pl.ds(base, _ROW_BLOCK), :]
+        valid_vec = validv_ref[pid, pl.ds(base, _ROW_BLOCK), :]
+
+        block = scratch_ref[:, :, :]                          # [C, RB, W]
+        out_a = _circ_shift_left_rows(block, s_vec[None], width)
         out_b = pltpu.roll(out_a, 1, axis=2)
-        out_row = (1.0 - fx) * out_a + fx * out_b
-        out_row = jnp.where(valid > 0, out_row, park_ref[:, :, :])
-        out_ref[0, :, pl.ds(i, 1), :] = out_row
+        fxb = fx_vec[None]                                    # [1, RB, 1]
+        out_rows = (1.0 - fxb) * out_a + fxb * out_b
+        out_rows = jnp.where(valid_vec[None] > 0, out_rows,
+                             park_ref[:, :, :])
+        out_ref[0, :, pl.ds(base, _ROW_BLOCK), :] = out_rows
         return 0
 
-    jax.lax.fori_loop(0, height, body, 0)
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
 
 
 # imported lazily so CPU-only environments can import the module
@@ -159,10 +194,12 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                                 (c, 1, width))
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width),
         grid=(p,),
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+        in_specs=[smem(), smem(), smem(), smem(),
+                  vmem_vec(), vmem_vec(), vmem_vec(),
                   pl.BlockSpec((c, height, width), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((c, 1, width), lambda i: (0, 0, 0),
@@ -172,9 +209,15 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, c, height, width),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, _ROW_BLOCK, width), jnp.float32)],
+        # block double-buffering puts this slightly over the default 16MB
+        # scoped-vmem budget at 640x320
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params["y0"], params["y1"], params["fy"], params["shift"],
-      params["fx"], params["valid"],
+      params["fx"][..., None], params["valid"][..., None],
+      params["shift"][..., None],
       img_flipped.astype(jnp.float32), park_row.astype(jnp.float32))
     return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
 
