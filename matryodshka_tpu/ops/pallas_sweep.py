@@ -114,18 +114,24 @@ def _circ_shift_left_rows(x, s_vec, width: int):
     return x
 
 
-_ROW_BLOCK = 8
+def _row_block(height: int) -> int:
+    """Largest row-block size (vector-op batch) dividing the height."""
+    for blk in (32, 16, 8):
+        if height % blk == 0:
+            return blk
+    return 1
 
 
 def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fxv_ref, validv_ref,
                   shiftv_ref, img_ref, park_ref, out_ref, scratch_ref, *,
-                  height: int, width: int):
+                  height: int, width: int, row_block: int):
     """Grid: (P,). img_ref: [C, H, W] horizontally flipped source
     (VMEM); y0/y1/fy/shift: [P, H] scalars in SMEM; fxv/validv/shiftv:
     [P, H, 1] VMEM vectors (the same per-row params in vector form);
     park: [C, 1, W] VMEM; out_ref: [1, C, H, W]; scratch: [C, RB, W].
 
-    Rows are processed in blocks of _ROW_BLOCK: the vertical taps are
+    Rows are processed in blocks of row_block (32/16/8, whichever divides
+    the height): the vertical taps are
     assembled per row (dynamic row slices + scalar fy blend into the
     scratch block), then the barrel shifter, second-tap roll, fractional
     blend and validity select all run block-wide — per-row variation is
@@ -138,10 +144,10 @@ def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fxv_ref, validv_ref,
     """
     c = img_ref.shape[0]
     pid = pl.program_id(0)
-    n_blocks = height // _ROW_BLOCK
+    n_blocks = height // row_block
 
     def block_body(blk, _):
-        base = blk * _ROW_BLOCK
+        base = blk * row_block
 
         def fill_row(r, _):
             i = base + r
@@ -153,11 +159,11 @@ def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fxv_ref, validv_ref,
             scratch_ref[:, pl.ds(r, 1), :] =                 (1.0 - fy) * row0 + fy * row1
             return 0
 
-        jax.lax.fori_loop(0, _ROW_BLOCK, fill_row, 0)
+        jax.lax.fori_loop(0, row_block, fill_row, 0)
 
-        s_vec = shiftv_ref[pid, pl.ds(base, _ROW_BLOCK), :]   # [RB, 1]
-        fx_vec = fxv_ref[pid, pl.ds(base, _ROW_BLOCK), :]
-        valid_vec = validv_ref[pid, pl.ds(base, _ROW_BLOCK), :]
+        s_vec = shiftv_ref[pid, pl.ds(base, row_block), :]    # [RB, 1]
+        fx_vec = fxv_ref[pid, pl.ds(base, row_block), :]
+        valid_vec = validv_ref[pid, pl.ds(base, row_block), :]
 
         block = scratch_ref[:, :, :]                          # [C, RB, W]
         out_a = _circ_shift_left_rows(block, s_vec[None], width)
@@ -166,7 +172,7 @@ def _sweep_kernel(y0_ref, y1_ref, fy_ref, shift_ref, fxv_ref, validv_ref,
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
         out_rows = jnp.where(valid_vec[None] > 0, out_rows,
                              park_ref[:, :, :])
-        out_ref[0, :, pl.ds(base, _ROW_BLOCK), :] = out_rows
+        out_ref[0, :, pl.ds(base, row_block), :] = out_rows
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block_body, 0)
@@ -195,8 +201,10 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem_vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_block = _row_block(height)
     out = pl.pallas_call(
-        functools.partial(_sweep_kernel, height=height, width=width),
+        functools.partial(_sweep_kernel, height=height, width=width,
+                          row_block=row_block),
         grid=(p,),
         in_specs=[smem(), smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(),
@@ -209,7 +217,7 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, c, height, width),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c, _ROW_BLOCK, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c, row_block, width), jnp.float32)],
         # block double-buffering puts this slightly over the default 16MB
         # scoped-vmem budget at 640x320
         compiler_params=pltpu.CompilerParams(
