@@ -18,7 +18,7 @@ import numpy as np
 
 from matryodshka_tpu.config import MatryConfig, add_config_args
 from matryodshka_tpu.data.images import write_image
-from matryodshka_tpu.data.loader import OdsLoader
+from matryodshka_tpu.data.loader import OdsLoader, make_loader
 from matryodshka_tpu.geometry import render as render_lib
 from matryodshka_tpu.geometry import sweep as sweep_lib
 from matryodshka_tpu.models import msi as msi_lib
@@ -38,6 +38,8 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
         _, mesh_coords, p2v = state_lib.build_gcn(cfg)
         gcn_inputs = (mesh_coords, p2v)
 
+    spherical = cfg.input_type == "ODS"
+
     @jax.jit
     def infer(params, batch):
         if cfg.gcn:
@@ -56,32 +58,46 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
                 outs[k] = outputs[k]
         if "psv" in test_outputs:
             outs["psv"] = outputs["psv"]
-        if "tgt_image" in test_outputs:
+        if spherical:
+            if "tgt_image" in test_outputs:
+                outs["output_image"] = msi_lib.deprocess_image(
+                    msi_lib.render_equirect_view(
+                        rgba, eye, batch["tgt_pose"], msi_depths))
+                outs["output_depth"] = msi_lib.render_equirect_depth(
+                    rgba, eye, batch["tgt_pose"], msi_depths)
+            if "psp" in test_outputs:
+                for win in range(4):
+                    outs[f"output_psp{win}"] = msi_lib.deprocess_image(
+                        msi_lib.render_perspective_view(
+                            rgba, batch["tgt_pose"], msi_depths,
+                            viewing_window=win))
+            if "src_output_image" in test_outputs:
+                outs["output_src"] = msi_lib.deprocess_image(
+                    msi_lib.render_ods_view(
+                        rgba, -1, eye, batch["tgt_pose"], msi_depths,
+                        batch["intrinsics"]))
+            if "ref_output_image" in test_outputs:
+                outs["output_ref"] = msi_lib.deprocess_image(
+                    msi_lib.render_ods_view(
+                        rgba, 1, eye, batch["tgt_pose"], msi_depths,
+                        batch["intrinsics"]))
+        elif "tgt_image" in test_outputs:
+            # PP / REALESTATE_PP: the layers are an MPI — render the
+            # perspective target view via the homography path, matching
+            # the training supervision (training/step.py). (The reference
+            # test.py nominally accepts PP but feeds the 4x4 tgt_pose into
+            # its equirect renderer's batch axis; we render the MPI view.)
+            rel_pose = jnp.einsum("bij,bjk->bik", batch["tgt_pose"],
+                                  batch["ref_pose_inv"])
             outs["output_image"] = msi_lib.deprocess_image(
-                msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
-                                             msi_depths))
-            outs["output_depth"] = msi_lib.render_equirect_depth(
-                rgba, eye, batch["tgt_pose"], msi_depths)
-        if "psp" in test_outputs:
-            for win in range(4):
-                outs[f"output_psp{win}"] = msi_lib.deprocess_image(
-                    msi_lib.render_perspective_view(
-                        rgba, batch["tgt_pose"], msi_depths,
-                        viewing_window=win))
-        if "src_output_image" in test_outputs:
-            outs["output_src"] = msi_lib.deprocess_image(
-                msi_lib.render_ods_view(rgba, -1, eye, batch["tgt_pose"],
-                                        msi_depths, batch["intrinsics"]))
-        if "ref_output_image" in test_outputs:
-            outs["output_ref"] = msi_lib.deprocess_image(
-                msi_lib.render_ods_view(rgba, 1, eye, batch["tgt_pose"],
-                                        msi_depths, batch["intrinsics"]))
+                msi_lib.render_mpi_view(rgba, rel_pose, msi_depths,
+                                        batch["intrinsics"]))
         return outs
 
     return infer
 
 
-def build_hres_render_fn(cfg: MatryConfig):
+def build_hres_render_fn(cfg: MatryConfig, mesh=None):
     """Shell-streamed high-res re-render.
 
     Given low-res blend weights/alphas and the hres image pair, scans over
@@ -89,10 +105,63 @@ def build_hres_render_fn(cfg: MatryConfig):
     reprojects it into the target view and over-composites incrementally
     (front accumulation), so peak memory is one hres shell
     (test.py:306-394 semantics, compiled into a single lax.scan).
+
+    With a mesh whose 'shell' axis is >1 (cfg.shard_shells), the plane
+    axis is SPLIT ACROSS DEVICES: each device streams its contiguous
+    back-to-front block of shells, accumulating a partial premultiplied
+    color and group transmittance; one all_gather of the tiny partials
+    over ICI and the closed-form combine (parallel/sharded_render.py)
+    finish the view. Peak per-device memory is one hres shell; wall
+    clock divides by the shard count.
     """
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
     hh, hw = cfg.hres_height, cfg.hres_width
+    num_planes = cfg.num_psv_planes
+    n_shards = mesh.shape["shell"] if mesh is not None else 1
+
+    def plane_proj(p, ref, src, u_blend, u_alpha, ref_pose, src_pose,
+                   ref_pose_inv, intrinsics, tgt_pose):
+        """One plane's hres PSV -> RGBA -> reprojection. p is traced."""
+        depth = jax.lax.dynamic_slice_in_dim(psv_depths, p, 1)
+        net_in = sweep_lib.format_network_input(
+            ref, src, ref_pose, src_pose, ref_pose_inv, depth,
+            intrinsics, input_type=cfg.input_type)
+        fg = net_in[..., 0:3]
+        bg = net_in[..., 3:6]
+        wgt = jax.lax.dynamic_slice_in_dim(u_blend, p, 1, axis=3)
+        alpha = jax.lax.dynamic_slice_in_dim(u_alpha, p, 1, axis=3)
+        rgb = wgt * fg + (1.0 - wgt) * bg
+        rgba = jnp.concatenate([rgb, alpha], -1)[:, :, :, None, :]
+        proj = jax.vmap(
+            lambda L, c: render_lib.reproject_equirect(
+                L, jnp.eye(4), c, depth)
+        )(rgba, tgt_pose)[:, 0]  # [B, H, W, 4]
+        return proj[..., :3], proj[..., 3:]
+
+    def stream_block(p0, n_local, args):
+        """Back-to-front partial composite of planes [p0, p0+n_local).
+
+        Returns (C_rgb [B,H,W,3], C_depth [B,H,W,1], T [B,H,W,1]) with
+        the global plane-0 alpha-ignored convention (a_0 := 1) baked in,
+        so partials combine exactly (parallel/sharded_render.py)."""
+        b = args[0].shape[0]
+
+        def body(carry, i):
+            c_rgb, c_depth, t = carry
+            p = p0 + i
+            prgb, palpha = plane_proj(p, *args)
+            palpha = jnp.where(p == 0, jnp.ones_like(palpha), palpha)
+            c_rgb = prgb * palpha + c_rgb * (1.0 - palpha)
+            c_depth = (p / num_planes) * palpha + c_depth * (1.0 - palpha)
+            t = t * (1.0 - palpha)
+            return (c_rgb, c_depth, t), None
+
+        init = (jnp.zeros((b, hh, hw, 3)), jnp.zeros((b, hh, hw, 1)),
+                jnp.ones((b, hh, hw, 1)))
+        (c_rgb, c_depth, t), _ = jax.lax.scan(body, init,
+                                              jnp.arange(n_local))
+        return c_rgb, c_depth, t
 
     @jax.jit
     def render(hres_ref, hres_src, blend_weights, alphas, ref_pose,
@@ -101,37 +170,33 @@ def build_hres_render_fn(cfg: MatryConfig):
         src = msi_lib.preprocess_image(hres_src)
         u_blend = msi_lib.upsample_align_corners(blend_weights, hh, hw)
         u_alpha = msi_lib.upsample_align_corners(alphas, hh, hw)
+        args = (ref, src, u_blend, u_alpha, ref_pose, src_pose,
+                ref_pose_inv, intrinsics, tgt_pose)
 
-        def body(carry, p):
-            out_rgb, out_depth = carry
-            depth = psv_depths[p]
-            net_in = sweep_lib.format_network_input(
-                ref, src, ref_pose, src_pose, ref_pose_inv, depth[None],
-                intrinsics, input_type=cfg.input_type)
-            fg = net_in[..., 0:3]
-            bg = net_in[..., 3:6]
-            wgt = jax.lax.dynamic_slice_in_dim(u_blend, p, 1, axis=3)
-            alpha = jax.lax.dynamic_slice_in_dim(u_alpha, p, 1, axis=3)
-            rgb = wgt * fg + (1.0 - wgt) * bg
-            rgba = jnp.concatenate([rgb, alpha], -1)[:, :, :, None, :]
-            proj = jax.vmap(
-                lambda L, c: render_lib.reproject_equirect(
-                    L, jnp.eye(4), c, depth[None])
-            )(rgba, tgt_pose)[:, 0]  # [B, H, W, 4]
-            prgb, palpha = proj[..., :3], proj[..., 3:]
-            out_rgb = jnp.where(p == 0, prgb,
-                                prgb * palpha + out_rgb * (1 - palpha))
-            a3 = jnp.broadcast_to(palpha, palpha.shape[:-1] + (3,))
-            step_depth = (p / cfg.num_psv_planes) * a3 \
-                + out_depth * (1 - a3)
-            out_depth = jnp.where(p == 0, jnp.zeros_like(step_depth),
-                                  step_depth)
-            return (out_rgb, out_depth), None
+        if n_shards == 1:
+            rgb, depth1, _ = stream_block(0, num_planes, args)
+            depth = jnp.broadcast_to(depth1, depth1.shape[:-1] + (3,))
+            return msi_lib.deprocess_image(rgb), depth
 
-        init = (jnp.zeros((hres_ref.shape[0], hh, hw, 3)),
-                jnp.zeros((hres_ref.shape[0], hh, hw, 3)))
-        (rgb, depth), _ = jax.lax.scan(
-            body, init, jnp.arange(cfg.num_psv_planes))
+        from jax.sharding import PartitionSpec as P
+        from matryodshka_tpu.parallel.sharded_render import \
+            combine_partials
+        n_local = num_planes // n_shards
+
+        def shard_fn(*a):
+            d = jax.lax.axis_index("shell")
+            c_rgb, c_depth, t = stream_block(d * n_local, n_local, a)
+            Cg = jax.lax.all_gather(c_rgb, "shell")     # [G, B, H, W, 3]
+            Dg = jax.lax.all_gather(c_depth, "shell")
+            Tg = jax.lax.all_gather(t, "shell")
+            return combine_partials(Cg, Tg), combine_partials(Dg, Tg)
+
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=tuple(P() for _ in args), out_specs=P(),
+            check_vma=False)
+        rgb, depth1 = fn(*args)
+        depth = jnp.broadcast_to(depth1, depth1.shape[:-1] + (3,))
         return msi_lib.deprocess_image(rgb), depth
 
     return render
@@ -145,8 +210,9 @@ def save_outputs(cfg: MatryConfig, out_dir: str, dirname: str, batch,
                     np.asarray(batch["tgt_image"][0]) * 255.0)
         write_image(f"{out_dir}/output_tgt_{dirname}.png",
                     np.asarray(outs["output_image"][0]) * 255.0)
-        write_image(f"{out_dir}/output_depth_{dirname}.png",
-                    np.asarray(outs["output_depth"][0]) * 255.0)
+        if "output_depth" in outs:
+            write_image(f"{out_dir}/output_depth_{dirname}.png",
+                        np.asarray(outs["output_depth"][0]) * 255.0)
     if "src_image" in test_outputs:
         write_image(f"{out_dir}/src_image_{dirname}.png",
                     np.asarray(batch["src_image"][0]) * 255.0)
@@ -229,7 +295,7 @@ def main(argv=None):
     video = "on_video" in args.test_type
 
     if "high_res_only" not in args.test_type:
-        loader = OdsLoader(cfg, training=False)
+        loader = make_loader(cfg, training=False)
         infer = build_infer_fn(cfg, model, args.test_outputs)
         for run, batch in enumerate(loader.batches()):
             if 0 <= args.num_runs <= run:
@@ -244,9 +310,21 @@ def main(argv=None):
                          args.test_outputs)
 
     if "high_res" in args.test_type:
+        assert cfg.input_type == "ODS", (
+            "high_res re-rendering is an ODS (spherical MSI) feature")
         hres_cfg = cfg.replace(supervision=cfg.supervision + "_hrestgt")
         loader = OdsLoader(hres_cfg, training=False)
-        render = build_hres_render_fn(cfg)
+        mesh = None
+        if cfg.shard_shells and jax.device_count() > 1:
+            from matryodshka_tpu.parallel.mesh import make_mesh
+            n = jax.device_count()
+            while cfg.num_psv_planes % n:
+                n -= 1
+            if n > 1:
+                mesh = make_mesh(shell=n)
+                print(f"[test] sharding {cfg.num_psv_planes} shells over "
+                      f"{n} devices")
+        render = build_hres_render_fn(cfg, mesh=mesh)
         for run, batch in enumerate(loader.batches()):
             if 0 <= args.num_runs <= run:
                 break

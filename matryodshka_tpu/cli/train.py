@@ -13,8 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from matryodshka_tpu.config import MatryConfig, parse_config
-from matryodshka_tpu.data.loader import (OdsLoader, RealEstateLoader,
-                                         device_prefetch)
+from matryodshka_tpu.data.loader import device_prefetch, make_loader
 from matryodshka_tpu.geometry import sweep as sweep_lib
 from matryodshka_tpu.models import msi as msi_lib
 from matryodshka_tpu.training import loop as loop_lib
@@ -148,14 +147,7 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(f"[train] devices: {jax.devices()}")
 
-    if cfg.input_type == "REALESTATE_PP":
-        loader = RealEstateLoader(cfg, training=True,
-                                  shuffle_seq_length=10)
-    elif cfg.input_type == "PP":
-        from matryodshka_tpu.data.loader import ReplicaPerspectiveLoader
-        loader = ReplicaPerspectiveLoader(cfg, training=True)
-    else:
-        loader = OdsLoader(cfg, training=True)
+    loader = make_loader(cfg, training=True)
     print(f"[train] {len(loader.sequences)} sequences")
 
     rng = jax.random.PRNGKey(cfg.random_seed)

@@ -225,19 +225,31 @@ class RealEstateLoader:
 
     def __init__(self, cfg: MatryConfig, cameras_glob: Optional[str] = None,
                  image_dir: Optional[str] = None, training: bool = True,
-                 shuffle_seq_length: int = 10, num_workers: int = 8):
+                 shuffle_seq_length: int = 10, num_workers: int = 8,
+                 min_stride: int = 3, max_stride: int = 10):
         self.cfg = cfg
         self.training = training
         self.image_dir = image_dir or cfg.image_dir
         self.shuffle_seq_length = shuffle_seq_length
+        self.min_stride = min_stride
+        self.max_stride = max_stride
         self.sequences = parsers.load_realestate_sequences(
             cameras_glob or cfg.cameras_glob)
         if not self.sequences:
             raise FileNotFoundError(
                 f"no camera files matched {cameras_glob or cfg.cameras_glob}")
-        self.sequences = [s for s in self.sequences
-                          if len(s) >= shuffle_seq_length * 10 or
-                          len(s) >= shuffle_seq_length]
+        # Admission rule (reference loader.py:118): training sequences must
+        # fit a subsequence at MAX stride — (n-1)*max_stride + 1 frames —
+        # so the stride sampling distribution is never clamped. Eval only
+        # needs n frames at stride 1.
+        n = shuffle_seq_length
+        required = (n - 1) * max_stride + 1 if training else n
+        self.sequences = [s for s in self.sequences if len(s) >= required]
+        if not self.sequences:
+            raise ValueError(
+                f"all sequences shorter than the admission rule "
+                f"(need {required} frames for length {n} at max stride "
+                f"{max_stride})")
         self.rng = np.random.RandomState(cfg.random_seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
 
@@ -251,8 +263,9 @@ class RealEstateLoader:
         cfg = self.cfg
         n = self.shuffle_seq_length
         if self.training:
-            sub = seq.random_subsequence(self.rng, n, min_stride=3,
-                                         max_stride=10)
+            sub = seq.random_subsequence(self.rng, n,
+                                         min_stride=self.min_stride,
+                                         max_stride=self.max_stride)
             if self.rng.rand() < 0.5:
                 sub = sub.reverse()
         else:
@@ -297,6 +310,8 @@ class RealEstateLoader:
             "tgt_pose": pose4(tgt_idx), "ref_pose": pose4(ref_idx),
             "src_pose": pose4(src_idx), "intrinsics": K,
             "scene_id": sub.seq_id,
+            "image_ids": [str(sub.timestamps[i])
+                          for i in (ref_idx, src_idx, tgt_idx)],
         }
 
     def batches(self) -> Iterator[Dict[str, Array]]:
@@ -316,7 +331,21 @@ class RealEstateLoader:
                                "intrinsics")}
             batch["ref_pose_inv"] = np.linalg.inv(batch["ref_pose"])
             batch["scene_id"] = [e["scene_id"] for e in exs]
+            batch["image_ids"] = [e["image_ids"] for e in exs]
             yield batch
+
+
+def make_loader(cfg: MatryConfig, training: bool = True, **kwargs):
+    """Loader factory keyed on cfg.input_type (the reference's per-type
+    data_loader dispatch, test.py:51 / train.py:104-115)."""
+    if cfg.input_type == "REALESTATE_PP":
+        # RealEstate clips use length-10 shuffle windows (reference
+        # loader.py:361), independent of the ODS group length flag.
+        kwargs.setdefault("shuffle_seq_length", 10)
+        return RealEstateLoader(cfg, training=training, **kwargs)
+    if cfg.input_type == "PP":
+        return ReplicaPerspectiveLoader(cfg, training=training, **kwargs)
+    return OdsLoader(cfg, training=training, **kwargs)
 
 
 def device_prefetch(batch_iter: Iterator[Dict[str, Array]], size: int = 2,

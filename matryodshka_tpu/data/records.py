@@ -70,9 +70,11 @@ class RealEstateSequence:
                            min_stride: int = 1, max_stride: int = 1
                            ) -> "RealEstateSequence":
         """Uniform random stride in [min, max] then uniform start
-        (datasets.py:237-267). Strides that don't fit the sequence are
-        clamped (the reference asserts instead; clamping keeps short
-        clips usable)."""
+        (datasets.py:237-267). The training loader only admits sequences
+        with >= (length-1)*max_stride + 1 frames (reference
+        loader.py:118), so the clamp below never fires there; it is a
+        guard for direct callers with short clips (the reference asserts
+        instead)."""
         if length > len(self):
             raise ValueError(
                 f"sequence {self.seq_id} shorter than requested length")

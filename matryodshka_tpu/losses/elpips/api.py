@@ -89,31 +89,54 @@ def get_config(name: str, batch_size: int = 1, n: int = 1) -> Config:
             "lpips_squeeze": lambda: lpips_squeeze(batch_size)}[name]()
 
 
+#: metric name -> packaged calibrated LPIPS linear-weight file (vendored
+#: from the elpips distribution's .npy blobs; loaded at the reference's
+#: elpips/elpips/pnetlin.py:58-60).
+_PACKAGED_LIN = {
+    "vgg_ensemble": "vgg_full_avg_lin.npz",
+    "vgg": "vgg_maxpool_lin.npz",
+    "squeeze_ensemble_maxpool": "squeeze_full_maxpool_lin.npz",
+    "squeeze": "squeeze_lin.npz",
+}
+
+
+def packaged_lin_weights(metric: str):
+    """Calibrated LPIPS linear weights shipped with this package."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "weights",
+                        _PACKAGED_LIN[metric])
+    blob = np.load(path)
+    return {k: blob[k] for k in blob.files}
+
+
 def load_weights(weight_path: Optional[str], metric: str):
-    """Returns (net_weights, lin_weights)."""
+    """Returns (net_weights, lin_weights).
+
+    Resolution order:
+      * explicit ``weight_path`` .npz: 'net/...' conv weights (HWIO) +
+        'lin/...' linear weights (build with
+        tools/import_elpips_weights.py);
+      * otherwise: packaged CALIBRATED linear weights + deterministic
+        random conv features (runnable, loudly warned — the VGG/Squeeze
+        conv blobs are not redistributable inside this repo).
+    """
     vgg = metric in ("vgg", "vgg_ensemble")
     if weight_path is not None:
         blob = np.load(weight_path)
         net = {k[4:]: blob[k] for k in blob.files if k.startswith("net/")}
         lin = {k[4:]: blob[k] for k in blob.files if k.startswith("lin/")}
+        if not lin:
+            lin = packaged_lin_weights(metric)
         return net, lin
     warnings.warn(
-        "elpips: no weight_path given — using DETERMINISTIC RANDOM "
-        "weights; the metric is runnable but not perceptually calibrated. "
-        "Build weights with tools/import_elpips_weights.py.")
+        "elpips: no weight_path given — using packaged calibrated linear "
+        "weights but DETERMINISTIC RANDOM conv features; the metric is "
+        "runnable but not the calibrated perceptual distance. Build full "
+        "weights with tools/import_elpips_weights.py.")
     key = jax.random.PRNGKey(0)
-    if vgg:
-        net = networks.random_vgg_weights(key)
-        chans = (networks.VGG16_FULL_AVG_CHANNELS
-                 if metric == "vgg_ensemble"
-                 else networks.VGG16_LPIPS_CHANNELS)
-    else:
-        net = networks.random_squeeze_weights(key)
-        chans = (networks.SQUEEZE_FULL_MAXPOOL_CHANNELS
-                 if metric == "squeeze_ensemble_maxpool"
-                 else networks.SQUEEZE_LPIPS_CHANNELS)
-    lin = pnetlin.random_lin_weights(jax.random.PRNGKey(1), chans)
-    return net, lin
+    net = (networks.random_vgg_weights(key) if vgg
+           else networks.random_squeeze_weights(key))
+    return net, packaged_lin_weights(metric)
 
 
 class Metric:

@@ -87,11 +87,12 @@ def assemble_rgba(which_color_pred: str, msi_pred: Array, net_input: Array,
     elif which_color_pred == "blend_bg":
         blend = (msi_pred[..., :p] + 1.0) / 2.0
         alphas = (msi_pred[..., p:2 * p] + 1.0) / 2.0
-        bg_rgb = msi_pred[..., -3:][..., None, :]  # [B,H,W,1,3]
+        bg_rgb = msi_pred[..., -3:]  # [B,H,W,3], raw tanh (msi.py:183)
         wgt = blend[..., None]
-        rgb = wgt * fg + (1.0 - wgt) * bg_rgb
+        rgb = wgt * fg + (1.0 - wgt) * bg_rgb[..., None, :]
         out["blend_weights"] = blend
         out["alphas"] = alphas
+        out["bg_rgb"] = bg_rgb
     elif which_color_pred == "blend_bg_psv":
         blend = (msi_pred[..., :p] + 1.0) / 2.0
         alphas = (msi_pred[..., p:2 * p] + 1.0) / 2.0
@@ -135,8 +136,13 @@ def assemble_hres_rgba(which_color_pred: str, outputs: Dict[str, Array],
         wgt = u_blend[..., None]
         rgb = wgt * fg + (1.0 - wgt) * bg
     elif which_color_pred == "blend_bg":
-        raise NotImplementedError(
-            "hres blend_bg needs the predicted bg upsample; use blend_psv")
+        # msi.py:196-212: upsample the predicted background RGB alongside
+        # the blend weights and blend it against the hres foreground PSV.
+        u_blend = upsample_align_corners(outputs["blend_weights"],
+                                         hres_h, hres_w)
+        u_bg = upsample_align_corners(outputs["bg_rgb"], hres_h, hres_w)
+        wgt = u_blend[..., None]
+        rgb = wgt * fg + (1.0 - wgt) * u_bg[..., None, :]
     else:
         rgb = fg
     return jnp.concatenate([rgb, u_alphas[..., None]], axis=-1)

@@ -62,6 +62,38 @@ def test_full_cli_lifecycle(fixture, tmp_path):
     assert os.path.exists(str(tmp_path / "exp" / "msi_model.stablehlo"))
 
 
+def test_pp_cli_lifecycle(tmp_path):
+    """Perspective (PP) input type: train -> test -> eval end-to-end,
+    exercising the loader dispatch (reference test.py:51) and the MPI
+    perspective render in the test flow."""
+    root = str(tmp_path / "ppdata")
+    glob_pat = synthetic.make_perspective_fixture(root, height=32,
+                                                  width=64)
+    ckpt = str(tmp_path / "ckpt_pp")
+    out = str(tmp_path / "out_pp")
+    flags = common_flags(root, glob_pat, ckpt) + ["--input_type", "PP"]
+
+    from matryodshka_tpu.cli.train import main as train_main
+    train_main(flags + ["--max_steps", "2", "--summary_freq", "1",
+                        "--save_latest_freq", "100"])
+
+    from matryodshka_tpu.cli.test import main as test_main
+    test_main(flags + ["--output_root", out, "--num_runs", "2",
+                       "--test_outputs",
+                       "tgt_image_blend_weights_alphas"])
+    dirs = [d for d in os.listdir(os.path.join(out, "cli"))
+            if os.path.isdir(os.path.join(out, "cli", d))]
+    assert len(dirs) == 2
+    files = os.listdir(os.path.join(out, "cli", dirs[0]))
+    assert any(f.startswith("output_tgt_") for f in files), files
+    assert "blend_weights.npy" in files
+
+    from matryodshka_tpu.cli.evaluate import main as eval_main
+    eval_main(["--result_root", os.path.join(out, "cli")])
+    table = json.load(open(os.path.join(out, "cli", "eval_reg.json")))
+    assert "avg_psnr" in table and np.isfinite(table["avg_psnr"])
+
+
 def test_cli_data_parallel_training(fixture, tmp_path):
     """--num_data_shards 2 on the virtual CPU mesh."""
     root, glob_pat = fixture

@@ -94,7 +94,8 @@ def test_realestate_parser_and_loader(re_fixture):
     cfg = MatryConfig(height=32, width=64, batch_size=1,
                       input_type="REALESTATE_PP", cameras_glob=glob_pat,
                       image_dir=os.path.join(root, "images"))
-    loader = RealEstateLoader(cfg, training=True, shuffle_seq_length=5)
+    loader = RealEstateLoader(cfg, training=True, shuffle_seq_length=5,
+                              min_stride=1, max_stride=2)
     batch = next(loader.batches())
     assert batch["ref_image"].shape == (1, 32, 64, 3)
     assert batch["intrinsics"].shape == (1, 3, 3)
@@ -102,6 +103,38 @@ def test_realestate_parser_and_loader(re_fixture):
     np.testing.assert_allclose(
         batch["ref_pose_inv"][0] @ batch["ref_pose"][0], np.eye(4),
         atol=1e-5)
+
+
+def test_realestate_admission_rule(re_fixture):
+    """Training admission mirrors the reference (loader.py:118): a
+    sequence must fit length n at MAX stride, i.e. (n-1)*max_stride + 1
+    frames; eval admission only needs n frames."""
+    root, glob_pat = re_fixture  # fixture sequence has 12 frames
+    cfg = MatryConfig(height=32, width=64, batch_size=1,
+                      input_type="REALESTATE_PP", cameras_glob=glob_pat,
+                      image_dir=os.path.join(root, "images"))
+    # (5-1)*2+1 = 9 <= 12: admitted
+    ok = RealEstateLoader(cfg, training=True, shuffle_seq_length=5,
+                          min_stride=1, max_stride=2)
+    assert len(ok.sequences) == 1
+    # (5-1)*3+1 = 13 > 12: rejected at training...
+    with pytest.raises(ValueError):
+        RealEstateLoader(cfg, training=True, shuffle_seq_length=5,
+                         min_stride=1, max_stride=3)
+    # ...but admitted for eval (needs only 5 frames)
+    ev = RealEstateLoader(cfg, training=False, shuffle_seq_length=5,
+                          min_stride=1, max_stride=3)
+    assert len(ev.sequences) == 1
+    # admitted sequences never clamp the stride distribution: every
+    # stride in [min, max] is reachable
+    rng = np.random.RandomState(0)
+    ts = list(ok.sequences[0].timestamps)
+    strides = set()
+    for _ in range(50):
+        sub = ok.sequences[0].random_subsequence(rng, 5, 1, 2)
+        strides.add(ts.index(sub.timestamps[1])
+                    - ts.index(sub.timestamps[0]))
+    assert strides == {1, 2}
 
 
 def test_realestate_subsequence_ops(re_fixture):

@@ -109,6 +109,42 @@ def test_downscale_box_average():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_packaged_lin_weights_calibrated():
+    """The package ships the CALIBRATED LPIPS linear weights (vendored
+    from the elpips distribution, loaded at the reference's
+    elpips/elpips/pnetlin.py:58-60). Shapes must match the tap channel
+    tables and a few golden values pin the blob identity."""
+    cases = {
+        "vgg_ensemble": networks.VGG16_FULL_AVG_CHANNELS,
+        "vgg": networks.VGG16_LPIPS_CHANNELS,
+        "squeeze_ensemble_maxpool": networks.SQUEEZE_FULL_MAXPOOL_CHANNELS,
+        "squeeze": networks.SQUEEZE_LPIPS_CHANNELS,
+    }
+    for metric, chans in cases.items():
+        lin = api.packaged_lin_weights(metric)
+        assert len(lin) == len(chans)
+        for i, c in enumerate(chans):
+            w = lin[f"lin{i}.model.1.weight"]
+            assert w.shape == (1, 1, c, 1), (metric, i)
+            assert (w >= 0).all()  # LPIPS lin weights are non-negative
+    # golden values from the vgg_full_avg blob
+    vgg = api.packaged_lin_weights("vgg_ensemble")
+    np.testing.assert_allclose(
+        vgg["lin0.model.1.weight"].reshape(-1),
+        [0.00011649, 0.00035439, 0.00808273], rtol=1e-4)
+    np.testing.assert_allclose(
+        float(vgg["lin13.model.1.weight"].sum()), 8.840884, rtol=1e-5)
+
+
+def test_default_metric_uses_packaged_lin():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = api.Metric(api.lpips_vgg(batch_size=1))
+    packaged = api.packaged_lin_weights("vgg")
+    for k, v in packaged.items():
+        np.testing.assert_array_equal(m.network.lin[k], v)
+
+
 def test_vgg_tap_channels():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")

@@ -101,3 +101,34 @@ def test_hres_render_fn_shapes(tmp_path):
     assert rgb.shape == (b, 32, 64, 3)
     assert depth.shape == (b, 32, 64, 3)
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_hres_render_sharded_matches_single():
+    """cfg.shard_shells wiring: the shell-sharded hres renderer (4 shells
+    over a 4-device 'shell' mesh axis, partial composites + all_gather)
+    must reproduce the single-device scan."""
+    import jax
+    from matryodshka_tpu.cli.test import build_hres_render_fn
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.parallel.mesh import make_mesh
+    cfg = MatryConfig(height=16, width=32, hres_height=32, hres_width=64,
+                      num_psv_planes=4, num_msi_planes=4,
+                      compute_dtype="float32").validate()
+    rng = np.random.RandomState(1)
+    b = 1
+    eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+    intr = jnp.tile(jnp.asarray([[0.032, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                                dtype=jnp.float32)[None], (b, 1, 1))
+    args = (
+        jnp.asarray(rng.rand(b, 32, 64, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(b, 32, 64, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(b, 16, 32, 4).astype(np.float32)),
+        jnp.asarray(rng.rand(b, 16, 32, 4).astype(np.float32)),
+        eye, eye, eye, intr, jnp.asarray([[0.02, 0.0, 0.0]]))
+    rgb1, depth1 = build_hres_render_fn(cfg)(*args)
+    mesh = make_mesh(shell=4)
+    rgbN, depthN = build_hres_render_fn(cfg, mesh=mesh)(*args)
+    np.testing.assert_allclose(np.asarray(rgbN), np.asarray(rgb1),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depthN), np.asarray(depth1),
+                               atol=2e-5)

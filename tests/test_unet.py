@@ -99,6 +99,44 @@ def test_assemble_rgba_other_schemes(scheme, channels):
             np.asarray(net_input[..., :3]), rtol=1e-6)
 
 
+@pytest.mark.parametrize("scheme", ["blend_psv", "blend_bg", "alpha_only"])
+def test_assemble_hres_rgba_schemes(scheme):
+    """hres assembly (msi.py:149-165 blend_psv, :196-212 blend_bg):
+    low-res weights (and predicted bg) are upsampled align_corners and
+    applied to the hres PSV. At equal resolution the upsample is the
+    identity, so hres assembly must equal the low-res assembly."""
+    b, h, w, p = 1, 4, 6, 3
+    rng = np.random.RandomState(2)
+    net_input = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2 * p * 3))
+                            .astype(np.float32))
+    channels = {"blend_psv": 2 * p, "blend_bg": 2 * p + 3,
+                "alpha_only": p}[scheme]
+    pred = jnp.asarray(rng.uniform(-1, 1, (b, h, w, channels))
+                       .astype(np.float32))
+    out = msi_lib.assemble_rgba(scheme, pred, net_input, p)
+    hres = msi_lib.assemble_hres_rgba(scheme, out, net_input, p, h, w)
+    np.testing.assert_allclose(np.asarray(hres),
+                               np.asarray(out["rgba_layers"]),
+                               atol=1e-5)
+
+
+def test_assemble_hres_blend_bg_uses_predicted_bg():
+    """blend_bg hres: where the blend weight is 0 the hres color is the
+    (upsampled) PREDICTED background, not the PSV."""
+    b, h, w, p = 1, 4, 4, 2
+    net_input = jnp.ones((b, h, w, 2 * p * 3), jnp.float32) * 0.5
+    pred = jnp.concatenate([
+        -jnp.ones((b, h, w, p)),            # blend weights -> 0
+        jnp.zeros((b, h, w, p)),            # alphas -> 0.5
+        jnp.full((b, h, w, 3), -0.25),      # predicted bg (raw tanh)
+    ], axis=-1)
+    out = msi_lib.assemble_rgba("blend_bg", pred, net_input, p)
+    hres = msi_lib.assemble_hres_rgba("blend_bg", out, net_input, p, h, w)
+    np.testing.assert_allclose(np.asarray(hres[..., :3]), -0.25, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["rgba_layers"][..., :3]),
+                               -0.25, atol=1e-5)
+
+
 def test_upsample_align_corners_endpoints():
     img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4, 1))
     up = np.asarray(msi_lib.upsample_align_corners(img, 5, 7))
