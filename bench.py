@@ -49,7 +49,8 @@ def main():
         b = rgba.shape[0]
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
         return msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
-                                            msi_depths)
+                                            msi_depths,
+                                            use_pallas=cfg.use_pallas)
 
     # component pieces for the stderr breakdown
     @jax.jit
@@ -71,7 +72,8 @@ def main():
     def render_only(rgba, tgt_pose):
         b = rgba.shape[0]
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-        return msi_lib.render_equirect_view(rgba, eye, tgt_pose, msi_depths)
+        return msi_lib.render_equirect_view(rgba, eye, tgt_pose, msi_depths,
+                                            use_pallas=cfg.use_pallas)
 
     pred = net_only(state.params, net_input)
     rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,

@@ -47,12 +47,21 @@ def over_composite(rgba: Array) -> Array:
 
 
 def _transmittance(alpha: Array) -> Array:
-    """T_i = prod_{j > i} (1 - a_j) along axis -2 (T_{P-1} = 1)."""
-    rev = jnp.flip(1.0 - alpha, axis=-2)
-    cp = jnp.cumprod(rev, axis=-2)
-    ecp = jnp.concatenate([jnp.ones_like(cp[..., :1, :]), cp[..., :-1, :]],
-                          axis=-2)
-    return jnp.flip(ecp, axis=-2)
+    """T_i = prod_{j > i} (1 - a_j) along axis -2 (T_{P-1} = 1).
+
+    Implemented with lax.cumprod(reverse=True) rather than
+    flip/cumprod/flip: on TPU, XLA (this version) MISCOMPILES the fused
+    transpose+flip+cumprod+reduce graph that the flip formulation
+    produces inside jitted render paths — outputs were silently wrong
+    by O(1) (caught by the Pallas ladder kernel, which disagreed with
+    the jitted gather path while matching the eager one; see
+    tests/test_pallas_render.py). The reverse-form is also one fewer
+    relayout.
+    """
+    axis = alpha.ndim - 2
+    rcp = jax.lax.cumprod(1.0 - alpha, axis=axis, reverse=True)
+    return jnp.concatenate([rcp[..., 1:, :], jnp.ones_like(rcp[..., :1, :])],
+                           axis=-2)
 
 
 def over_composite_depth(rgba: Array) -> Array:
@@ -96,10 +105,35 @@ def reproject_equirect(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
     return _gather_layers(rgba_layers, uv)
 
 
+def _cap_over(rgba_layers: Array, uv_rows: Array) -> Array:
+    """Gather-path render of a horizontal row band: uv_rows [P, Hc, W, 2]."""
+    proj = _gather_layers(rgba_layers, uv_rows)
+    return over_composite(jnp.moveaxis(proj, 0, 2))
+
+
 def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
-                         radii: Array) -> Array:
+                         radii: Array, use_pallas: bool = False,
+                         pallas_opts: dict | None = None) -> Array:
     """Novel ERP view: reproject + over-composite. [H, W, P, 4] -> [H, W, 3].
-    Batch with vmap. (msi.py:407-429)"""
+    Batch with vmap. (msi.py:407-429)
+
+    use_pallas dispatches the mid rows to the fused ladder kernel
+    (ops/pallas_render.py; translation-dominant poses) and renders only
+    the two pole caps with gathers; falls back wholesale when the kernel
+    declines the shape/backend.
+    """
+    h, w = rgba_layers.shape[0], rgba_layers.shape[1]
+    if use_pallas:
+        from matryodshka_tpu.ops import pallas_render
+        uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
+        opts = pallas_opts or {}
+        mid = pallas_render.render_equirect_mid_pallas(rgba_layers, uv,
+                                                       **opts)
+        if mid is not None:
+            cap = opts.get("cap", pallas_render.CAP_ROWS)
+            top = _cap_over(rgba_layers, uv[:, :cap])
+            bot = _cap_over(rgba_layers, uv[:, h - cap:])
+            return jnp.concatenate([top, mid, bot], axis=0)
     proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
     return over_composite(jnp.moveaxis(proj, 0, 2))
 

@@ -1,0 +1,282 @@
+"""Pallas fused MSI novel-view render: warp + over-composite, no gathers.
+
+The gather-path render (geometry/render.py) costs ~2.7 ns per gathered
+row on TPU -- P*H*W ~ 6.5M descriptors dominate the frame. This kernel
+replaces every gather with lane/sublane ROTATES + masked blends by
+exploiting the structure of translation-dominant novel-view warps
+(the 6DoF-video hot path: bench, test.py re-renders):
+
+  u(p,i,j) = (W-1-j) - du(p,i,j)     (ERP->ERP is a REVERSED ramp in j;
+                                      theta = -S, cf. cameras.py:168-174)
+  v(p,i,j) = i + dv(p,i,j)
+
+with |du| <= |t| * (W/2pi) / (r_p cos(lat)) and |dv| <= |t| * (W/2pi)/r_p
+(parallax; verified in tools/analyze_render_residuals.py). On the
+horizontally FLIPPED source Lf the bilinear sample is an EXACT double
+rung ladder (tools/proto_render_ladder.py is the numpy spec, bit-equal
+to the gather path):
+
+  out(i,j) = sum_m cv_m(i,j) * sum_k ch_k(i,j) * Lf_pad[i+m, (j+k) mod W]
+  dk = W-1-floor(u)-j (circular)     ch_k = (1-fx)[dk==k] + fx[dk==k+1]
+  dy = floor(v)-i                    cv_m = (1-fy)[dy==m] + fy[dy==m-1]
+
+Both ladders are RUNTIME-SIZED fori loops over dynamic-shift rotates
+(Mosaic's tpu.dynamic_rotate): per-(plane, row-block) integer rung
+bounds, computed in XLA from the actual uv field and prefetched to
+SMEM, bound each loop -- a far shell at the equator pays ~2x3 rungs
+while a near shell by the pole cap pays its true range.
+
+The 1/cos(lat) amplification is unbounded at the poles, so the kernel
+only renders rows [cap, H-cap); the caller (geometry/render.py) renders
+the two pole caps with the gather path and concatenates. Residuals
+beyond the static maxima clamp to the nearest rung (nearest-edge
+sample); callers keep |t| small enough that this never fires.
+
+Compositing happens IN-KERNEL: the grid iterates shells back-to-front
+and accumulates `out = rgb*a + out*(1-a)` (layer 0's alpha ignored, per
+projector.py:246-265), so the [P,H,W,4] reprojection volume never
+touches HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Static residual clamps (the ladders are runtime-sized; these only bound
+# the tables and the nearest-edge clamp). kh covers
+# |t|*(W/2pi)/(r_min*cos(lat_cap)); with the defaults (cap=16 rows ->
+# lat 80.7deg, amp 6.2) kh_max=64 supports |t| <= 0.10m at r_min=1.
+KH_MAX = 64
+KV_MAX = 7
+ROW_BLOCK = 16
+CAP_ROWS = 16
+
+
+def _band_geometry(cap: int, row_block: int, kv_max: int):
+    """Sublane-aligned band layout around each row block.
+
+    The band holds source rows [blk_start - band_lead,
+    blk_start - band_lead + band); vertical tap m lives at band row
+    band_lead + m. The band START must be 8-aligned (Mosaic vector
+    loads), which fixes the XLA-side wrap padding `pad` via the
+    congruence (cap - band_lead + pad) % 8 == 0. The band size is kept
+    minimal: the deepest tap touches row band_lead + kv_max + 1 +
+    row_block - 1.
+    """
+    band_lead = 8 * -(-(kv_max + 1) // 8)
+    band = band_lead + row_block + kv_max + 1
+    pad = max(kv_max + 2, band_lead - cap, band - row_block - cap, 0)
+    while (cap - band_lead + pad) % 8:
+        pad += 1
+    return band_lead, band, pad
+
+
+def _residual_tables(u: Array, v: Array, cap: int, row_block: int,
+                     kh_max: int, kv_max: int):
+    """Integer rung bounds per (plane, row-block) from the uv field.
+
+    u, v: [P, Hm, W] (mid rows only). Returns int32 [P, NBLK] x4. The
+    kernel recomputes the per-pixel residual fields from u, v in VMEM --
+    passing them would double HBM traffic.
+    """
+    p, hm, w = u.shape
+    nblk = hm // row_block
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
+    i = (jax.lax.broadcasted_iota(jnp.float32, (1, hm, 1), 1) + cap)
+    dk_raw = (w - 1.0) - jnp.floor(u) - j
+    dk = dk_raw - w * jnp.floor((dk_raw + w / 2.0) / w)
+    dk = jnp.clip(dk, -kh_max, kh_max)
+    dy = jnp.clip(jnp.floor(v) - i, -kv_max, kv_max)
+    dk = dk.reshape(p, nblk, row_block, w)
+    dy = dy.reshape(p, nblk, row_block, w)
+    klo = jnp.min(dk, axis=(2, 3)).astype(jnp.int32)
+    khi = jnp.max(dk, axis=(2, 3)).astype(jnp.int32)
+    mlo = jnp.min(dy, axis=(2, 3)).astype(jnp.int32)
+    mhi = jnp.max(dy, axis=(2, 3)).astype(jnp.int32)
+    return klo, khi, mlo, mhi
+
+
+def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
+                   out_ref, rolled_ref, cvs_ref, acc_ref, *,
+                   h_mid: int, width: int, cap: int, row_block: int,
+                   kh_max: int, kv_max: int):
+    """Grid (P,). layer_ref: [1, 4, H+2*pad, W] flipped+row-wrap-padded
+    shell p (VMEM); uv_ref: [1, 2, Hm, W]; out_ref: [3, Hm, W] revisited
+    across shells (the running composite). Scratch: rolled [4, band, W]
+    (the block's row band, lane-rotated by the current horizontal rung),
+    cvs [MV, R, W] (vertical rung coefficients), acc [4, R, W]."""
+    p = pl.program_id(0)
+    nblk = h_mid // row_block
+    band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+
+    def block_body(blk, _):
+        base = blk * row_block
+        u = uv_ref[0, 0, pl.ds(base, row_block), :]
+        v = uv_ref[0, 1, pl.ds(base, row_block), :]
+
+        j = jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, width), 1).astype(jnp.float32)
+        i_abs = (jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, width), 0).astype(jnp.float32)
+            + (cap + base).astype(jnp.float32))
+
+        x0f = jnp.floor(u)
+        fx = u - x0f
+        dk_raw = (width - 1.0) - x0f - j
+        dk = dk_raw - width * jnp.floor((dk_raw + width / 2.0) / width)
+        dk = jnp.clip(dk, -kh_max, kh_max)
+        y0f = jnp.floor(v)
+        fy = v - y0f
+        dy = jnp.clip(y0f - i_abs, -kv_max, kv_max)
+
+        klo = klo_ref[p, blk]
+        khi = khi_ref[p, blk]
+        mlo = mlo_ref[p, blk]
+        mhi = mhi_ref[p, blk]
+
+        # Vertical rung coefficients, once per block (static unroll,
+        # runtime-skipped outside [mlo, mhi+1]).
+        for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+            @pl.when((m >= mlo) & (m <= mhi + 1))
+            def _(mi=mi, m=m):
+                cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                     + fy * (dy == m - 1))
+
+        acc_ref[:, :, :] = jnp.zeros((4, row_block, width), jnp.float32)
+        bs = pl.multiple_of(cap + base - band_lead + pad, 8)
+
+        # One dynamic lane-rotate brings the band to the FIRST horizontal
+        # rung (klo-1); each k iteration then advances by a static
+        # roll-by-1. Lf[(j+k) mod W] == roll(Lf, -k)[j].
+        shift0 = jax.lax.rem(width - (klo - 1), width)
+        rolled_ref[:, :, :] = pltpu.roll(
+            layer_ref[0, :, pl.ds(bs, band), :], shift0, axis=2)
+
+        def k_body(k, _):
+            kf = k.astype(jnp.float32)
+            ch = (1.0 - fx) * (dk == kf) + fx * (dk == kf + 1.0)
+            # Vertical taps are STATIC band slices of the rolled band
+            # (no sublane rolls): rung m reads rows band_lead+m ..
+            # band_lead+m+R.
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= mlo) & (m <= mhi + 1))
+                def _(mi=mi, m=m):
+                    coef = ch * cvs_ref[mi, :, :]
+                    tap = rolled_ref[:, band_lead + m:
+                                     band_lead + m + row_block, :]
+                    acc_ref[:, :, :] = acc_ref[:, :, :] + coef[None] * tap
+            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                             width - 1, axis=2)
+            return 0
+
+        jax.lax.fori_loop(klo - 1, khi + 1, k_body, 0)
+
+        rgb = acc_ref[0:3, :, :]
+        alpha = acc_ref[3:4, :, :]
+
+        @pl.when(p == 0)
+        def _():
+            # farthest shell: alpha treated as 1 (projector.py:246-265)
+            out_ref[:, pl.ds(base, row_block), :] = rgb
+
+        @pl.when(p > 0)
+        def _():
+            prev = out_ref[:, pl.ds(base, row_block), :]
+            out_ref[:, pl.ds(base, row_block), :] = (
+                rgb * alpha + prev * (1.0 - alpha))
+
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
+                                             "kv_max", "interpret"))
+def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
+                       cap: int, row_block: int, kh_max: int, kv_max: int,
+                       interpret: bool = False) -> Array:
+    """layers_flipped_padded: [P, 4, H+2*pad, W] f32; uvm: [P, 2, Hm, W].
+    Returns the composited mid rows [Hm, W, 3]."""
+    p, c, hpad, w = layers_flipped_padded.shape
+    hm = uvm.shape[2]
+    assert c == 4 and hm % row_block == 0, (c, hm, row_block)
+    band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
+    mv = 2 * kv_max + 2
+
+    klo, khi, mlo, mhi = _residual_tables(
+        uvm[:, 0], uvm[:, 1], cap, row_block, kh_max, kv_max)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 4, hpad, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hm, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, hm, w), lambda i, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((mv, row_block, w), jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel, h_mid=hm, width=w, cap=cap,
+                          row_block=row_block, kh_max=kh_max,
+                          kv_max=kv_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(klo, khi, mlo, mhi, layers_flipped_padded, uvm)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
+                   kv_max: int = KV_MAX) -> Array:
+    """[H, W, P, 4] -> flipped + row-wrap-padded [P, 4, H+2*pad, W] f32."""
+    cap = CAP_ROWS if cap is None else cap
+    row_block = ROW_BLOCK if row_block is None else row_block
+    _, _, pad = _band_geometry(cap, row_block, kv_max)
+    x = jnp.transpose(rgba_layers, (2, 3, 0, 1))      # [P, 4, H, W]
+    x = jnp.flip(x, axis=3)
+    x = jnp.concatenate([x[:, :, -pad:], x, x[:, :, :pad]], axis=2)
+    return x.astype(jnp.float32)
+
+
+def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
+                               cap: int = CAP_ROWS,
+                               row_block: int = ROW_BLOCK,
+                               kh_max: int = KH_MAX, kv_max: int = KV_MAX,
+                               interpret: bool = False) -> Optional[Array]:
+    """Composite the mid rows [cap, H-cap) of an ERP novel view.
+
+    rgba_layers: [H, W, P, 4]; uv: [P, H, W, 2] full-height lookup field
+    (from intersect_sphere). Returns [H-2*cap, W, 3] or None when the
+    shape doesn't fit the kernel (caller falls back to gathers).
+    """
+    h, w, p, c = rgba_layers.shape
+    hm = h - 2 * cap
+    if c != 4 or hm <= 0 or hm % row_block or w % 128 or h - 2 * cap < 8:
+        return None
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    layers = prepare_layers(rgba_layers, cap, row_block, kv_max)
+    uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))  # [P, 2, Hm, W]
+    return _ladder_render_mid(layers, uvm.astype(jnp.float32), cap,
+                              row_block, kh_max, kv_max,
+                              interpret=interpret)

@@ -62,10 +62,11 @@ def combine_partials(C: Array, T: Array) -> Array:
     sharded renderer does this), which makes the formula exact.
     """
     # transmittance ladder over groups (exclusive, from the front).
-    rev = jnp.flip(T, axis=0)
-    cp = jnp.cumprod(rev, axis=0)
-    ecp = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)
-    lad = jnp.flip(ecp, axis=0)
+    # reverse-form cumprod, NOT flip/cumprod/flip: XLA-TPU miscompiles
+    # the fused transpose+flip+cumprod+reduce graph (geometry/render.py
+    # _transmittance has the full story).
+    rcp = jax.lax.cumprod(T, axis=0, reverse=True)
+    lad = jnp.concatenate([rcp[1:], jnp.ones_like(rcp[:1])], axis=0)
     return jnp.sum(C * lad, axis=0)
 
 

@@ -312,3 +312,21 @@ def test_interpolate_pose_midpoint():
         [[np.cos(half), -np.sin(half), 0],
          [np.sin(half), np.cos(half), 0], [0, 0, 1]], atol=1e-5)
     np.testing.assert_allclose(mid[:3, 3], [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_over_composite_jit_full_scale_after_transpose():
+    """Regression: XLA-TPU miscompiled the fused transpose+flip+cumprod+
+    reduce graph the old flip-form _transmittance produced under jit at
+    full scale (silently wrong by O(1)); _transmittance now uses
+    lax.cumprod(reverse=True). Pin the jitted plane-major path against
+    the literal loop at production scale."""
+    rng = np.random.RandomState(7)
+    proj = rng.rand(32, 320, 640, 4).astype(np.float32)
+
+    @jax.jit
+    def composite_plane_major(pr):
+        return render.over_composite(jnp.moveaxis(pr, 0, 2))
+
+    got = np.asarray(composite_plane_major(jnp.asarray(proj)))
+    exp = _loop_over_composite(np.moveaxis(proj, 0, 2))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)

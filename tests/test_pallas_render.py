@@ -1,0 +1,81 @@
+"""Ladder render kernel vs the gather path (interpret mode, CPU).
+
+The kernel is EXACT (same taps, same weights) wherever the per-pixel
+residuals fit the static rung maxima -- tools/proto_render_ladder.py is
+the numpy derivation. These tests run the real Pallas kernel in
+interpreter mode on a small ERP and demand float32-level agreement with
+geometry/render.py's gather path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matryodshka_tpu.geometry import intersect, render
+from matryodshka_tpu.ops import pallas_render
+
+H, W, P = 64, 256, 4
+OPTS = dict(cap=8, row_block=8, kh_max=14, kv_max=5, interpret=True)
+
+
+def _layers(rng):
+    return jnp.asarray(rng.rand(H, W, P, 4).astype(np.float32))
+
+
+def _radii():
+    # near shells exercise multi-rung parallax at this resolution
+    return jnp.asarray([8.0, 2.0, 1.2, 1.0])
+
+
+@pytest.mark.parametrize("pos", [[0.05, 0.0, 0.0], [0.04, 0.03, -0.05],
+                                 [0.0, 0.06, 0.0]])
+def test_mid_rows_bit_close(pos):
+    rng = np.random.RandomState(0)
+    layers = _layers(rng)
+    radii = _radii()
+    pose = jnp.eye(4)
+    tgt = jnp.asarray(pos)
+    uv = intersect.intersect_sphere(pose, tgt, radii, W, H)
+
+    mid = pallas_render.render_equirect_mid_pallas(layers, uv, **OPTS)
+    assert mid is not None and mid.shape == (H - 16, W, 3)
+
+    ref = render.render_equirect_view(layers, pose, tgt, radii)
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(ref)[8:-8],
+                               rtol=0, atol=1e-5)
+
+
+def test_full_view_dispatch_matches_gather():
+    rng = np.random.RandomState(1)
+    layers = _layers(rng)
+    radii = _radii()
+    pose = jnp.eye(4)
+    tgt = jnp.asarray([0.03, -0.02, 0.04])
+    out = render.render_equirect_view(layers, pose, tgt, radii,
+                                      use_pallas=True, pallas_opts=OPTS)
+    ref = render.render_equirect_view(layers, pose, tgt, radii)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_residual_tables_cover_field():
+    # tables are exact bounds of the clamped residual fields
+    radii = _radii()
+    uv = intersect.intersect_sphere(jnp.eye(4), jnp.asarray([0.05, 0, 0]),
+                                    radii, W, H)
+    uvm = jnp.transpose(uv[:, 8:H - 8], (0, 3, 1, 2))
+    klo, khi, mlo, mhi = pallas_render._residual_tables(
+        uvm[:, 0], uvm[:, 1], 8, 8, 14, 5)
+    assert klo.shape == (P, (H - 16) // 8)
+    assert int(jnp.max(khi)) <= 14 and int(jnp.min(klo)) >= -14
+    # far shell barely moves; near shell needs several rungs
+    assert int(khi[0].max()) <= 1
+    assert int(khi[-1].max()) >= 2
+
+
+def test_declines_bad_shapes():
+    layers = jnp.zeros((H, 100, P, 4))  # width not lane-aligned
+    uv = jnp.zeros((P, H, 100, 2))
+    assert pallas_render.render_equirect_mid_pallas(layers, uv,
+                                                    **OPTS) is None
