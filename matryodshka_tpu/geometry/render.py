@@ -105,9 +105,31 @@ def reproject_equirect(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
     return _gather_layers(rgba_layers, uv)
 
 
-def _cap_over(rgba_layers: Array, uv_rows: Array) -> Array:
-    """Gather-path render of a horizontal row band: uv_rows [P, Hc, W, 2]."""
-    proj = _gather_layers(rgba_layers, uv_rows)
+_CAP_BAND_PAD = 16  # source rows kept beyond the cap (covers |dv| < 16)
+
+
+def _cap_over(rgba_layers: Array, uv_rows: Array, top: bool,
+              cap: int) -> Array:
+    """Gather-path render of a pole cap: uv_rows [P, cap, W, 2].
+
+    Gathers from a SMALL source band around the pole instead of the full
+    layer stack — the quad-pack table build otherwise costs more than
+    the gathers themselves. Band indexing reproduces the gather path's
+    mod-H vertical wrap exactly for |dv| < _CAP_BAND_PAD (the same
+    translation-bound contract as the ladder kernel).
+    """
+    h = rgba_layers.shape[0]
+    bp = _CAP_BAND_PAD
+    if top:
+        band = jnp.concatenate([rgba_layers[h - bp:], rgba_layers[:cap + bp]],
+                               axis=0)
+        vshift = float(bp)
+    else:
+        band = jnp.concatenate([rgba_layers[h - cap - bp:],
+                                rgba_layers[:bp]], axis=0)
+        vshift = float(bp + cap - h)
+    uv_b = jnp.stack([uv_rows[..., 0], uv_rows[..., 1] + vshift], axis=-1)
+    proj = _gather_layers(band, uv_b)
     return over_composite(jnp.moveaxis(proj, 0, 2))
 
 
@@ -131,8 +153,8 @@ def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
                                                        **opts)
         if mid is not None:
             cap = opts.get("cap", pallas_render.CAP_ROWS)
-            top = _cap_over(rgba_layers, uv[:, :cap])
-            bot = _cap_over(rgba_layers, uv[:, h - cap:])
+            top = _cap_over(rgba_layers, uv[:, :cap], True, cap)
+            bot = _cap_over(rgba_layers, uv[:, h - cap:], False, cap)
             return jnp.concatenate([top, mid, bot], axis=0)
     proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
     return over_composite(jnp.moveaxis(proj, 0, 2))
