@@ -120,7 +120,8 @@ def main():
                         (1, 1, 1, cfg.num_msi_planes, 1))
         rgba = jnp.concatenate([rgba, rgba[..., :1] * 0.5 + 0.2], -1)
         out = msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
-                                           msi_depths)
+                                           msi_depths,
+                                           use_pallas=cfg.use_pallas)
         return out
 
     def e2e_step(img):
@@ -129,7 +130,8 @@ def main():
         outputs = msi_lib.infer_msi(apply, state.params, cfg, b2,
                                     psv_depths)
         return msi_lib.render_equirect_view(
-            outputs["rgba_layers"], eye, batch["tgt_pose"], msi_depths)
+            outputs["rgba_layers"], eye, batch["tgt_pose"], msi_depths,
+            use_pallas=cfg.use_pallas)
 
     seed = batch["ref_image"]
     for name, fn in (("sweep(2 eyes)", sweep_step), ("unet", net_step),
