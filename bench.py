@@ -33,6 +33,12 @@ def main():
     from matryodshka_tpu.training import state as state_lib
 
     cfg = _flagship_cfg()
+
+    def _render_opts(cfg):
+        if cfg.compute_dtype == "bfloat16":
+            return {"dtype": jnp.bfloat16}
+        return None
+
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
     batch = _synthetic_batch(cfg)
@@ -50,7 +56,8 @@ def main():
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
         return msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
                                             msi_depths,
-                                            use_pallas=cfg.use_pallas)
+                                            use_pallas=cfg.use_pallas,
+                                            pallas_opts=_render_opts(cfg))
 
     # component pieces for the stderr breakdown
     @jax.jit
@@ -73,7 +80,8 @@ def main():
         b = rgba.shape[0]
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
         return msi_lib.render_equirect_view(rgba, eye, tgt_pose, msi_depths,
-                                            use_pallas=cfg.use_pallas)
+                                            use_pallas=cfg.use_pallas,
+                                            pallas_opts=_render_opts(cfg))
 
     pred = net_only(state.params, net_input)
     rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,

@@ -262,17 +262,21 @@ def _batched_reproject(rgba_layers: Array, uv: Array) -> Array:
 
 def render_equirect_view(rgba_layers: Array, tgt_pose_rt: Array,
                          tgt_pos: Array, radii: Array,
-                         use_pallas: bool = False) -> Array:
+                         use_pallas: bool = False,
+                         pallas_opts: dict | None = None) -> Array:
     """[B, H, W, P, 4] + [B, 4, 4] + [B, 3] -> [B, H, W, 3].
 
     use_pallas routes each example through the fused ladder render
-    (ops/pallas_render.py; the batch unrolls — inference batches are 1)."""
+    (ops/pallas_render.py; the batch unrolls — inference batches are 1).
+    pallas_opts tunes the kernel (e.g. dtype=jnp.bfloat16 halves the
+    roll/FMA traffic; error stays under PNG quantization)."""
     if use_pallas:
         b = rgba_layers.shape[0]
         return jnp.stack([
             render_lib.render_equirect_view(rgba_layers[i], tgt_pose_rt[i],
                                             tgt_pos[i], radii,
-                                            use_pallas=True)
+                                            use_pallas=True,
+                                            pallas_opts=pallas_opts)
             for i in range(b)])
     h, w = rgba_layers.shape[1], rgba_layers.shape[2]
     uv = jax.vmap(lambda po, c: intersect.intersect_sphere(

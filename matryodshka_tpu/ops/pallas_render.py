@@ -158,8 +158,11 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
         # rung (klo-1); each k iteration then advances by a static
         # roll-by-1. Lf[(j+k) mod W] == roll(Lf, -k)[j].
         shift0 = jax.lax.rem(width - (klo - 1), width)
+        # layers may be stored bf16 (halves their HBM traffic); Mosaic's
+        # dynamic rotate is 32-bit-only, so convert at the band load.
         rolled_ref[:, :, :] = pltpu.roll(
-            layer_ref[0, :, pl.ds(bs, band), :], shift0, axis=2)
+            layer_ref[0, :, pl.ds(bs, band), :].astype(jnp.float32),
+            shift0, axis=2)
 
         def k_body(k, _):
             kf = k.astype(jnp.float32)
@@ -247,21 +250,21 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
 
 
 def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
-                   kv_max: int = KV_MAX) -> Array:
-    """[H, W, P, 4] -> flipped + row-wrap-padded [P, 4, H+2*pad, W] f32."""
+                   kv_max: int = KV_MAX, dtype=jnp.float32) -> Array:
+    """[H, W, P, 4] -> flipped + row-wrap-padded [P, 4, H+2*pad, W]."""
     cap = CAP_ROWS if cap is None else cap
     row_block = ROW_BLOCK if row_block is None else row_block
     _, _, pad = _band_geometry(cap, row_block, kv_max)
-    x = jnp.transpose(rgba_layers, (2, 3, 0, 1))      # [P, 4, H, W]
-    x = jnp.flip(x, axis=3)
-    x = jnp.concatenate([x[:, :, -pad:], x, x[:, :, :pad]], axis=2)
-    return x.astype(jnp.float32)
+    x = jnp.transpose(rgba_layers.astype(dtype), (2, 3, 0, 1))
+    x = jnp.flip(x, axis=3)                           # [P, 4, H, W]
+    return jnp.concatenate([x[:, :, -pad:], x, x[:, :, :pad]], axis=2)
 
 
 def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
                                cap: int = CAP_ROWS,
                                row_block: int = ROW_BLOCK,
                                kh_max: int = KH_MAX, kv_max: int = KV_MAX,
+                               dtype=jnp.float32,
                                interpret: bool = False) -> Optional[Array]:
     """Composite the mid rows [cap, H-cap) of an ERP novel view.
 
@@ -275,7 +278,7 @@ def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
         return None
     if not interpret and jax.default_backend() != "tpu":
         return None
-    layers = prepare_layers(rgba_layers, cap, row_block, kv_max)
+    layers = prepare_layers(rgba_layers, cap, row_block, kv_max, dtype)
     uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))  # [P, 2, Hm, W]
     return _ladder_render_mid(layers, uvm.astype(jnp.float32), cap,
                               row_block, kh_max, kv_max,
