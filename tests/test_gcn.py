@@ -177,3 +177,30 @@ def test_gcn_train_step(tmp_path):
         losses.append(float(metrics["total_loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_p2v_vectorized_matches_loop_reference():
+    """The batched pixel_to_vertex_lookup reproduces the per-pixel loop
+    (same candidate order, first-hit/best-min selection) exactly."""
+    from matryodshka_tpu.geometry import icosphere as ico
+    verts, faces = ico.icosphere(2)
+    fast = ico.pixel_to_vertex_lookup(verts, faces, 24, 48)
+    slow = ico._pixel_to_vertex_lookup_loop(verts, faces, 24, 48)
+    np.testing.assert_array_equal(fast[..., 0], slow[..., 0])
+    np.testing.assert_allclose(fast[..., 1], slow[..., 1], atol=1e-6)
+
+
+def test_p2v_subdiv4_fast_smoke():
+    """Generation at a real subdivision level must be fast (the loop
+    version took minutes here, hours at subdiv 7)."""
+    import time
+    from matryodshka_tpu.geometry import icosphere as ico
+    verts, faces = ico.icosphere(4)
+    t0 = time.time()
+    p2v = ico.pixel_to_vertex_lookup(verts, faces, 80, 160)
+    dt = time.time() - t0
+    assert dt < 30.0, dt
+    assert p2v.shape == (160, 80, 3, 2)
+    w = p2v[..., 1]
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+    assert (w >= 0).all()
