@@ -244,8 +244,12 @@ def atlas_pack(pred: Array, height: int, width: int,
                channels: int = 64) -> Array:
     """Pack CNN output channels into an 8x(C/8) image atlas.
 
-    Mirrors the export-time msi_output tiling (nets.py:370-385): channels
-    -> a [1, 8*H, (C/8)*W] mosaic consumed by external runtimes.
+    Matches BOTH export-time msi_output tilings of the reference
+    (nets.py:370-385): blend_psv keeps 64 channels -> [1, 8H, 8W]
+    (output_h=8 mosaic, :370-376) and alpha_only keeps 32 -> [1, 8H, 4W]
+    (:377-382); the channel->tile order (row-major over [8, C/8], same
+    transpose chain) is identical, so 8x(C/8) reproduces each branch
+    bit-for-bit.
     """
     cols = channels // 8
     x = jnp.transpose(pred[..., :channels], (0, 3, 1, 2))

@@ -59,7 +59,21 @@ def test_full_cli_lifecycle(fixture, tmp_path):
     from matryodshka_tpu.cli.export import main as export_main
     export_main(flags + ["--export_dir", str(tmp_path / "exp"),
                          "--platform", "cpu"])
-    assert os.path.exists(str(tmp_path / "exp" / "msi_model.stablehlo"))
+    artifact = str(tmp_path / "exp" / "msi_model.stablehlo")
+    assert os.path.exists(artifact)
+
+    # external-consumer check: a clean process (no matryodshka_tpu
+    # imports) deserializes and runs the artifact from the blob +
+    # meta.json alone — the TPU-native analogue of loading the ONNX
+    # export in TensorRT (scripts/export/pb2onnx.sh).
+    import subprocess, sys as _sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "consume_export.py"),
+         artifact], capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "finite=True" in proc.stdout, proc.stdout
 
 
 def test_pp_cli_lifecycle(tmp_path):
