@@ -121,6 +121,41 @@ class FusedDeconvCrop(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class WrapConv3x3(nn.Module):
+    """Stride-1 3x3 conv with ERP horizontal wrap (wrap_pad semantics).
+
+    Same parameter tree as nn.Conv ({kernel [3,3,cin,cout], bias}).
+    When `use_pallas` and the shape fits, runs ops/pallas_conv.py's
+    VMEM-resident 9-GEMM kernel (wrap = free circular rolls); otherwise
+    the XLA conv on the wrap-concatenated input (identical math).
+    """
+    features: int
+    use_pallas: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        xc = x.astype(self.dtype)
+        if self.use_pallas:
+            from matryodshka_tpu.ops import pallas_conv
+            out = pallas_conv.conv3x3_wrap(xc, kernel.astype(self.dtype),
+                                           bias=bias)
+            if out is not None:
+                return out.astype(self.dtype)
+        xp = jnp.concatenate([xc[:, :, -1:], xc, xc[:, :, :1]], axis=2)
+        y = jax.lax.conv_general_dilated(
+            xp, kernel.astype(self.dtype), (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class MSIUNet(nn.Module):
     """MSI blend-weight / alpha prediction network.
 
@@ -135,6 +170,7 @@ class MSIUNet(nn.Module):
     ngf: int = 64
     variant: str = "wrap"
     smoothed: bool = False   # NN-upsample + conv instead of conv_transpose
+    use_pallas_conv: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -159,6 +195,10 @@ class MSIUNet(nn.Module):
                         padding="SAME", kernel_dilation=(rate, rate),
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=name)(x)
+        elif stride == 1 and rate == 1:
+            y = WrapConv3x3(feats, use_pallas=self.use_pallas_conv,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=name)(x)
         else:
             xp = jnp.concatenate([x[:, :, -rate:], x, x[:, :, :rate]],
                                  axis=2)

@@ -1,0 +1,136 @@
+"""Pallas 3x3 wrap-convolution (EXPERIMENT — default OFF, see below).
+
+Motivation: on the bench chip, GEMM throughput is set almost entirely
+by the output width N (measured in-kernel, chained: N=64 -> 21 TFLOP/s,
+N=256 -> 67, N=512 -> 140 of the 197 bf16 peak), so the net's N=64..256
+convs run at 5-10%% MXU under XLA. This kernel folds all 9 taps of a
+3x3 wrap conv into ONE wide GEMM [M, Cin] @ [Cin, 9*Cout] (high-N rate)
+and shift-reduces the tap groups: group (dy, dx) lands at row offset dy
+with a circular column roll of 1-dx — the roll IS the ERP wrap padding
+(nets.py:288-295); rolls act on the f32 GEMM result because Mosaic's
+rotate is 32-bit-only.
+
+MEASURED RESULT (2026-08, v5e via axon): the full net runs SLOWER with
+this kernel (11.5 ms vs 7.3 ms XLA). The chip is HBM-bound (~250-370
+GB/s practical, not the 819 GB/s datasheet), and the XLA-side halo
+pre-tiling (BlockSpecs cannot overlap, so each activation is copied
+~1.25x) plus f32 outputs cost more than the MXU-rate win returns.
+To make this path win it needs (a) manual HBM->VMEM halo DMA instead
+of pre-tiling, (b) bf16 outputs, (c) the LN statistics folded into the
+epilogue. Kept as a correct, tested building block for that follow-up;
+`MSIUNet(use_pallas_conv=True)` opts in.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+ROW_BLOCK = 8
+
+
+def _conv_kernel(x_ref, w_ref, out_ref, g_ref, *, row_block: int,
+                 width: int, cin: int, cout: int):
+    """Grid (H/RB,). x_ref block: [1, RB+2, W, Cin] (1-row halo each
+    side, pre-tiled from the zero-padded input); w_ref: [Cin, 9*Cout]
+    (tap-major groups); out block: [RB, W, Cout] f32; g scratch:
+    [RB+2, W, 9*Cout] f32.
+
+    ONE wide GEMM computes every tap's contribution at every position —
+    measured MXU rates on this chip are set by the GEMM's N (N=64 runs
+    at 11%, N>=512 at 70%+), so folding the 9 taps into N is a ~7x
+    arithmetic-rate win over 9 narrow GEMMs. The tap groups are then
+    shift-reduced: group (dy, dx) contributes its value at row offset
+    dy, column-rolled by 1-dx (circular roll == ERP wrap padding,
+    nets.py:288-295; rolls are on the f32 GEMM result because Mosaic's
+    rotate is 32-bit-only)."""
+    a = x_ref[0].reshape((row_block + 2) * width, cin)
+    g_ref[:, :, :] = jnp.dot(a, w_ref[:, :],
+                             preferred_element_type=jnp.float32
+                             ).reshape(row_block + 2, width, 9 * cout)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            gslot = dy * 3 + dx
+            gi = g_ref[dy:dy + row_block, :,
+                       gslot * cout:(gslot + 1) * cout]
+            if dx == 0:
+                gi = pltpu.roll(gi, 1, axis=1)
+            elif dx == 2:
+                gi = pltpu.roll(gi, width - 1, axis=1)
+            acc = gi if acc is None else acc + gi
+    out_ref[:, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "interpret"))
+def _conv3x3_wrap(x: Array, kernel: Array, row_block: int,
+                  interpret: bool = False) -> Array:
+    """x: [H, W, Cin] (any dtype); kernel: [3, 3, Cin, Cout] ->
+    [H, W, Cout] f32 raw conv with horizontal wrap + vertical zero pad."""
+    h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+    nb = h // row_block
+    # overlapping halo windows pre-tiled in XLA (BlockSpecs cannot
+    # overlap); ~(RB+2)/RB extra input traffic, revisit with manual HBM
+    # DMA if it shows up in profiles
+    xt = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xp, i * row_block, row_block + 2, 0)
+        for i in range(nb)])
+    # [3, 3, Cin, Cout] -> [Cin, 9*Cout], tap-major groups
+    kmat = jnp.transpose(kernel.reshape(9, cin, cout),
+                         (1, 0, 2)).reshape(cin, 9 * cout).astype(x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, row_block=row_block, width=w,
+                          cin=cin, cout=cout),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, row_block + 2, w, cin),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, 9 * cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_block, w, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((row_block + 2, w, 9 * cout),
+                                   jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, kmat)
+    return out
+
+
+def conv3x3_wrap(x: Array, kernel: Array, bias: Optional[Array] = None,
+                 row_block: int = ROW_BLOCK,
+                 interpret: bool = False) -> Optional[Array]:
+    """Batched wrap conv: x [B, H, W, Cin], kernel [3, 3, Cin, Cout].
+
+    Returns [B, H, W, Cout] f32, or None when the shape doesn't fit
+    (caller falls back to the XLA conv). The halo block index map
+    requires (RB + 2) | rows stepping -- satisfied by the 1-row pad plus
+    RB-aligned heights.
+    """
+    b, h, w, cin = x.shape
+    if h % row_block or w % 8:
+        # lanes carry the CHANNEL dim; W only needs sublane alignment
+        return None
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    outs = [_conv3x3_wrap(x[i], kernel, row_block, interpret=interpret)
+            for i in range(b)]
+    out = jnp.stack(outs)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out

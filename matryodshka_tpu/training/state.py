@@ -28,6 +28,9 @@ def build_model(cfg: MatryConfig) -> MSIUNet:
         ngf=cfg.ngf,
         variant="coord" if cfg.coord_net else "wrap",
         smoothed=cfg.smoothed,
+        # measured SLOWER than XLA convs end-to-end on the bench chip
+        # (see ops/pallas_conv.py docstring); opt-in experiment only
+        use_pallas_conv=False,
         dtype=cfg.jnp_compute_dtype,
         param_dtype=cfg.jnp_param_dtype,
     )
