@@ -131,7 +131,8 @@ def format_network_input(ref_image: Array, src_image: Array,
                          ref_pose_inv: Array, depths: Array,
                          intrinsics: Array, input_type: str = "ODS",
                          jitter_pose_inv: Array | None = None,
-                         use_pallas: bool = False) -> Array:
+                         use_pallas: bool = False,
+                         out_dtype=None) -> Array:
     """Double sweep: ref eye order=+1, src eye order=-1, concat on channels.
 
     Mirrors matryodshka/msi.py:1094-1130: each source's sweep pose is
@@ -149,10 +150,11 @@ def format_network_input(ref_image: Array, src_image: Array,
     if (use_pallas and input_type == "ODS" and jitter_pose_inv is None
             and jax.default_backend() == "tpu"):
         from matryodshka_tpu.ops import pallas_sweep
+        dt = out_dtype or jnp.float32
         vols = [pallas_sweep.ods_sweep_identity(ref_image, 1, depths,
-                                                intrinsics),
+                                                intrinsics, out_dtype=dt),
                 pallas_sweep.ods_sweep_identity(src_image, -1, depths,
-                                                intrinsics)]
+                                                intrinsics, out_dtype=dt)]
         return jnp.concatenate(vols, axis=-1)
 
     sweep = (ods_sphere_sweep if input_type == "ODS"
@@ -164,7 +166,8 @@ def format_network_input(ref_image: Array, src_image: Array,
         cur_pose = jnp.einsum("bij,bjk->bik", pose, ref_pose_inv)
         vols.append(sweep(img, order, depths, cur_pose, intrinsics,
                           use_pallas=use_pallas))
-    return jnp.concatenate(vols, axis=-1)
+    out = jnp.concatenate(vols, axis=-1)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def format_realestate_network_input(ref_image: Array, src_image: Array,

@@ -113,8 +113,12 @@ def assemble_rgba(which_color_pred: str, msi_pred: Array, net_input: Array,
     else:
         raise ValueError(which_color_pred)
 
+    # storage dtype follows the PSV (bf16 under compute_dtype=bfloat16 —
+    # the TPU analogue of the reference's auto-mixed-precision option,
+    # msi.py:730-731): blends are computed in f32 above via promotion,
+    # renders re-promote to f32 at the resample/composite.
     out["rgba_layers"] = jnp.concatenate(
-        [rgb, out["alphas"][..., None]], axis=-1)
+        [rgb, out["alphas"][..., None]], axis=-1).astype(net_input.dtype)
     return out
 
 
@@ -176,11 +180,14 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
             ref, src, batch["ref_pose"], batch["src_pose"], psv_depths,
             batch["intrinsics"], jitter_pose_inv=jitter_pose_inv)
     else:
+        # bf16 PSV storage when the net computes in bf16: the [B,H,W,192]
+        # volume is pure HBM traffic (the net casts anyway; assembly
+        # blends promote back to f32)
         net_input = sweep_lib.format_network_input(
             ref, src, batch["ref_pose"], batch["src_pose"],
             batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
             input_type=cfg.input_type, jitter_pose_inv=jitter_pose_inv,
-            use_pallas=cfg.use_pallas)
+            use_pallas=cfg.use_pallas, out_dtype=cfg.jnp_compute_dtype)
 
     msi_pred = apply_fn(params, net_input)
     outputs = assemble_rgba(cfg.which_color_pred, msi_pred, net_input,

@@ -216,7 +216,8 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
         out_rows = jnp.where(valid_vec[None] > 0, out_rows,
                              park_ref[:, :, :])
-        out_ref[0, :, pl.ds(base, row_block), :] = out_rows
+        out_ref[0, :, pl.ds(base, row_block), :] = out_rows.astype(
+            out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block_body, 0)
@@ -229,11 +230,14 @@ from jax.experimental.pallas import tpu as pltpu      # noqa: E402
 
 @functools.partial(jax.jit,
                    static_argnames=("order", "height", "width",
-                                    "interpret"))
+                                    "out_dtype", "interpret"))
 def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                            intrinsics: Array, height: int, width: int,
+                           out_dtype=jnp.float32,
                            interpret: bool = False) -> Array:
-    """One eye's sweep: image [H, W, C] -> [P, H, W, C]."""
+    """One eye's sweep: image [H, W, C] -> [P, H, W, C] (out_dtype;
+    bf16 halves the volume's HBM traffic — the kernel computes f32 and
+    converts at the output write)."""
     p = depths.shape[0]
     c = image.shape[-1]
     params = _row_params(order, depths, intrinsics, height, width)
@@ -270,7 +274,7 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, c, height, width),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[pltpu.VMEM((c, row_block + 2 * _VPAD, width),
                                    jnp.float32),
                         pltpu.VMEM((c, row_block, width), jnp.float32)],
@@ -288,7 +292,7 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
 
 
 def ods_sweep_identity(image: Array, order: int, depths: Array,
-                       intrinsics: Array,
+                       intrinsics: Array, out_dtype=jnp.float32,
                        interpret: bool = False) -> Optional[Array]:
     """Batched fused sweep: [B, H, W, C] -> [B, H, W, P*C].
 
@@ -301,6 +305,7 @@ def ods_sweep_identity(image: Array, order: int, depths: Array,
     for i in range(b):
         vol = _ods_sweep_plane_stack(image[i], order, depths,
                                      intrinsics[i], h, w,
+                                     out_dtype=out_dtype,
                                      interpret=interpret)
         outs.append(jnp.transpose(vol, (1, 2, 0, 3)).reshape(h, w, p * c))
     return jnp.stack(outs)
