@@ -9,8 +9,11 @@ Here it is a single flattened XLA gather: image [H, W, C] is viewed as
 which XLA lowers to one fused dynamic-gather each on TPU. Weighting happens
 in fp32 for precision regardless of the storage dtype.
 
-A Pallas fused version (coords-compute + gather + blend in VMEM) lives in
-ops/pallas_resample.py and is dispatched via `resample_stack` when enabled.
+The Pallas fused render (warp + composite without gathers) lives in
+ops/pallas_render.py and is dispatched at the render layer
+(geometry/render.py); the Pallas fused sweeps live in ops/pallas_sweep.py.
+This module remains the exact gather-path reference and the general-pose
+fallback.
 
 There is also `bilinear_zero_resample` reproducing tf.contrib.resampler's
 zero-outside-boundary semantics (sampling.py:32-54), used by the legacy
@@ -186,15 +189,12 @@ def resample_stack(image: Array, coords: Array, wrap: bool = True,
                    use_pallas: bool = False) -> Array:
     """Sample one image at a [P, H, W, 2] coordinate stack -> [P, H, W, C].
 
-    This is the sweep/render workhorse: one source image gathered at
-    num_planes coordinate fields. Uses the quad-packed single-gather path
-    (exact); `use_pallas` reserves the seam for a fused kernel.
+    One source image gathered at num_planes coordinate fields, via the
+    quad-packed single-gather path (exact). Fused-kernel dispatch happens
+    a level up (render/sweep modules); `use_pallas` is accepted for call
+    compatibility.
     """
-    if use_pallas and wrap:
-        from matryodshka_tpu.ops import pallas_resample
-        out = pallas_resample.resample_stack_pallas(image, coords)
-        if out is not None:
-            return out
+    del use_pallas
     if wrap:
         h, w, c = image.shape
         return bilinear_wrap_resample_packed(pack_quad(image), h, w, c,
