@@ -60,9 +60,15 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
             outs["psv"] = outputs["psv"]
         if spherical:
             if "tgt_image" in test_outputs:
+                # target poses are dataset translation offsets — the
+                # Pallas ladder render's hot path (exact; falls back to
+                # gathers off-TPU)
+                popts = ({"dtype": cfg.jnp_compute_dtype}
+                         if cfg.use_pallas else None)
                 outs["output_image"] = msi_lib.deprocess_image(
                     msi_lib.render_equirect_view(
-                        rgba, eye, batch["tgt_pose"], msi_depths))
+                        rgba, eye, batch["tgt_pose"], msi_depths,
+                        use_pallas=cfg.use_pallas, pallas_opts=popts))
                 outs["output_depth"] = msi_lib.render_equirect_depth(
                     rgba, eye, batch["tgt_pose"], msi_depths)
             if "psp" in test_outputs:

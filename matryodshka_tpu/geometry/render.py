@@ -15,7 +15,6 @@ Replaces the reference's layer-by-layer Python loops
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

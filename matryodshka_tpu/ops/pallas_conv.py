@@ -118,9 +118,7 @@ def conv3x3_wrap(x: Array, kernel: Array, bias: Optional[Array] = None,
     """Batched wrap conv: x [B, H, W, Cin], kernel [3, 3, Cin, Cout].
 
     Returns [B, H, W, Cout] f32, or None when the shape doesn't fit
-    (caller falls back to the XLA conv). The halo block index map
-    requires (RB + 2) | rows stepping -- satisfied by the 1-row pad plus
-    RB-aligned heights.
+    (caller falls back to the XLA conv).
     """
     b, h, w, cin = x.shape
     if h % row_block or w % 8:

@@ -33,7 +33,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from matryodshka_tpu.geometry import cameras, grids
 

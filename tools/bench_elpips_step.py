@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--planes", type=int, default=32)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--loss", default="elpips", choices=["elpips", "pixel"])
     args = ap.parse_args()
 
     import jax
@@ -36,7 +37,7 @@ def main():
     cfg = MatryConfig(height=args.height, width=args.width,
                       num_psv_planes=args.planes,
                       num_msi_planes=args.planes, ngf=64,
-                      which_loss="elpips", coord_net=True,
+                      which_loss=args.loss, coord_net=True,
                       compute_dtype="bfloat16").validate()
     print(f"[elpips-bench] devices: {jax.devices()}", file=sys.stderr)
 
