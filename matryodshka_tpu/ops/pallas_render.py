@@ -151,40 +151,60 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
                 cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
                                      + fy * (dy == m - 1))
 
-        acc_ref[:, :, :] = jnp.zeros((4, row_block, width), jnp.float32)
+        acc_ref[:, :, :] = jnp.zeros((4, row_block, width), acc_ref.dtype)
         bs = pl.multiple_of(cap + base - band_lead + pad, 8)
 
-        # One dynamic lane-rotate brings the band to the FIRST horizontal
-        # rung (klo-1); each k iteration then advances by a static
-        # roll-by-1. Lf[(j+k) mod W] == roll(Lf, -k)[j].
-        shift0 = jax.lax.rem(width - (klo - 1), width)
-        # layers may be stored bf16 (halves their HBM traffic); Mosaic's
-        # dynamic rotate is 32-bit-only, so convert at the band load.
-        rolled_ref[:, :, :] = pltpu.roll(
-            layer_ref[0, :, pl.ds(bs, band), :].astype(jnp.float32),
-            shift0, axis=2)
+        def rungs(k):
+            """Accumulate every vertical rung of horizontal rung k.
 
-        def k_body(k, _):
+            Vertical taps are STATIC band slices of the rolled band (no
+            sublane rolls): rung m reads rows band_lead+m ..
+            band_lead+m+R. Lf[(j+k) mod W] == roll(Lf, -k)[j]."""
             kf = k.astype(jnp.float32)
             ch = (1.0 - fx) * (dk == kf) + fx * (dk == kf + 1.0)
-            # Vertical taps are STATIC band slices of the rolled band
-            # (no sublane rolls): rung m reads rows band_lead+m ..
-            # band_lead+m+R.
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                 @pl.when((m >= mlo) & (m <= mhi + 1))
                 def _(mi=mi, m=m):
                     coef = ch * cvs_ref[mi, :, :]
                     tap = rolled_ref[:, band_lead + m:
                                      band_lead + m + row_block, :]
-                    acc_ref[:, :, :] = acc_ref[:, :, :] + coef[None] * tap
+                    acc_ref[:, :, :] = (acc_ref[:, :, :]
+                                        + (coef[None] * tap).astype(
+                                            acc_ref.dtype))
+
+        # Two roll-by-1 chains from the UNROTATED band (k=0) — no
+        # dynamic rotate needed. Chain A walks k = 0..khi (roll left
+        # after each rung), chain B re-seeds and walks k = -1 down to
+        # klo-1 (roll right before each rung). Rungs outside
+        # [klo-1, khi] have all-zero masks, so over-coverage is safe.
+        # (Layers may be stored bf16 — halves their HBM traffic —
+        # and rotate is 32-bit-only, so convert at the band load.)
+        rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
+                                        :].astype(jnp.float32)
+
+        def k_up(i, _):
+            rungs(i)
             rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
                                              width - 1, axis=2)
             return 0
 
-        jax.lax.fori_loop(klo - 1, khi + 1, k_body, 0)
+        jax.lax.fori_loop(0, khi + 1, k_up, 0)
 
-        rgb = acc_ref[0:3, :, :]
-        alpha = acc_ref[3:4, :, :]
+        @pl.when(klo - 1 < 0)
+        def _():
+            rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
+                                            :].astype(jnp.float32)
+
+        def k_down(i, _):
+            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 1,
+                                             axis=2)
+            rungs(-1 - i)
+            return 0
+
+        jax.lax.fori_loop(0, jnp.maximum(0, 1 - klo), k_down, 0)
+
+        rgb = acc_ref[0:3, :, :].astype(jnp.float32)
+        alpha = acc_ref[3:4, :, :].astype(jnp.float32)
 
         @pl.when(p == 0)
         def _():
@@ -233,6 +253,10 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         scratch_shapes=[
             pltpu.VMEM((4, band, w), jnp.float32),
             pltpu.VMEM((mv, row_block, w), jnp.float32),
+            # f32 accumulator: a bf16 accumulator (tried) halves the
+            # read-modify-write traffic but the per-FMA mixed-dtype
+            # converts made the kernel NET SLOWER (54.7 -> 52.0 fps
+            # e2e) — and costs the bit-close-to-gather guarantee.
             pltpu.VMEM((4, row_block, w), jnp.float32),
         ],
     )
