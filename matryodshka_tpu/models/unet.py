@@ -145,8 +145,9 @@ class WrapConv3x3(nn.Module):
         xc = x.astype(self.dtype)
         if self.use_pallas:
             from matryodshka_tpu.ops import pallas_conv
-            out = pallas_conv.conv3x3_wrap(xc, kernel.astype(self.dtype),
-                                           bias=bias)
+            out = pallas_conv.conv3x3_wrap_dma(xc,
+                                               kernel.astype(self.dtype),
+                                               bias=bias)
             if out is not None:
                 return out.astype(self.dtype)
         xp = jnp.concatenate([xc[:, :, -1:], xc, xc[:, :, :1]], axis=2)

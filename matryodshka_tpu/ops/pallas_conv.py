@@ -10,15 +10,22 @@ with a circular column roll of 1-dx — the roll IS the ERP wrap padding
 (nets.py:288-295); rolls act on the f32 GEMM result because Mosaic's
 rotate is 32-bit-only.
 
-MEASURED RESULT (2026-08, v5e via axon): the full net runs SLOWER with
-this kernel (11.5 ms vs 7.3 ms XLA). The chip is HBM-bound (~250-370
-GB/s practical, not the 819 GB/s datasheet), and the XLA-side halo
-pre-tiling (BlockSpecs cannot overlap, so each activation is copied
-~1.25x) plus f32 outputs cost more than the MXU-rate win returns.
-To make this path win it needs (a) manual HBM->VMEM halo DMA instead
-of pre-tiling, (b) bf16 outputs, (c) the LN statistics folded into the
-epilogue. Kept as a correct, tested building block for that follow-up;
-`MSIUNet(use_pallas_conv=True)` opts in.
+MEASURED RESULTS (2026-08, v5e via axon), both variants:
+- pre-tiled variant (conv3x3_wrap): full net 11.5 ms vs 7.3 ms XLA —
+  the XLA-side halo pre-tiling (BlockSpecs cannot overlap, ~1.25x
+  activation copies) plus f32 outputs dominate on a chip measured at
+  ~250-370 GB/s practical HBM bandwidth.
+- manual-DMA variant (conv3x3_wrap_dma): double-buffered HBM->VMEM halo
+  windows, bf16 outputs, lane-padded channels. ISOLATED it beats the
+  XLA conv clearly (conv1_1-shape chained: 1.74 ms vs 2.53 ms incl.
+  identical harness overhead — ~2.5x on the conv itself). IN THE NET it
+  still loses (10.96 ms vs 7.35): eight pallas_call boundaries break
+  XLA's conv+layernorm+relu+pad fusion pipelines, and the zero-pad /
+  channel-pad copies recur per layer.
+The remaining step to win in-net is folding the LN statistics + relu
+epilogue into the kernel (two-pass stats over blocks) so the fusion
+boundary disappears. Kept as correct, tested building blocks;
+`MSIUNet(use_pallas_conv=True)` opts in to the DMA variant.
 """
 
 from __future__ import annotations
@@ -131,4 +138,113 @@ def conv3x3_wrap(x: Array, kernel: Array, bias: Optional[Array] = None,
     out = jnp.stack(outs)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA halo variant: input stays in HBM, each grid step DMAs its
+# (overlapping) halo window into a double-buffered VMEM slot — no XLA
+# pre-tiling copy — and writes bf16.
+# ---------------------------------------------------------------------------
+
+def _conv_kernel_dma(x_hbm, w_ref, out_ref, win_ref, g_ref, sem, *,
+                     row_block: int, width: int, cin: int, cout: int,
+                     nb: int):
+    """Grid (NB,). x_hbm: [H+2, W, Cin] (zero row-padded) left in HBM;
+    win scratch: [2, RB+2, W, Cin] double buffer; g: [RB+2, W, 9*Cout]
+    f32; sem: DMA((2,)). The wide GEMM + shift-reduce as in
+    _conv_kernel."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = 1 - slot
+
+    def window_copy(step, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * row_block, row_block + 2)],
+            win_ref.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        window_copy(i + 1, nslot).start()
+
+    window_copy(i, slot).wait()
+
+    a = win_ref[slot].reshape((row_block + 2) * width, cin)
+    g_ref[:, :, :] = jnp.dot(a, w_ref[:, :],
+                             preferred_element_type=jnp.float32
+                             ).reshape(row_block + 2, width, 9 * cout)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            gslot = dy * 3 + dx
+            gi = g_ref[dy:dy + row_block, :,
+                       gslot * cout:(gslot + 1) * cout]
+            if dx == 0:
+                gi = pltpu.roll(gi, 1, axis=1)
+            elif dx == 2:
+                gi = pltpu.roll(gi, width - 1, axis=1)
+            acc = gi if acc is None else acc + gi
+    out_ref[:, :, :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "interpret"))
+def _conv3x3_wrap_dma(x: Array, kernel: Array, row_block: int,
+                      interpret: bool = False) -> Array:
+    """x: [H, W, Cin] -> [H, W, Cout] in x.dtype (bf16 halves the output
+    write); horizontal wrap + vertical zero pad."""
+    h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    # HBM slices must be lane-aligned: pad Cin to a multiple of 128
+    # (zero channels; matching zero GEMM rows keep the result exact)
+    cpad = 128 * -(-cin // 128)
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, cpad - cin)))
+    nb = h // row_block
+    kmat = jnp.transpose(kernel.reshape(9, cin, cout),
+                         (1, 0, 2)).reshape(cin, 9 * cout).astype(x.dtype)
+    kmat = jnp.pad(kmat, ((0, cpad - cin), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_dma, row_block=row_block, width=w,
+                          cin=cpad, cout=cout, nb=nb),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((cpad, 9 * cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_block, w, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, row_block + 2, w, cpad), x.dtype),
+            pltpu.VMEM((row_block + 2, w, 9 * cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, kmat)
+    return out
+
+
+def conv3x3_wrap_dma(x: Array, kernel: Array,
+                     bias: Optional[Array] = None,
+                     row_block: int = ROW_BLOCK,
+                     interpret: bool = False) -> Optional[Array]:
+    """Batched manual-DMA wrap conv: [B, H, W, Cin] -> [B, H, W, Cout]
+    in the input dtype. Returns None when the shape doesn't fit."""
+    b, h, w, cin = x.shape
+    if h % row_block or w % 8:
+        return None
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    outs = [_conv3x3_wrap_dma(x[i], kernel, row_block,
+                              interpret=interpret) for i in range(b)]
+    out = jnp.stack(outs)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
     return out

@@ -42,3 +42,14 @@ def test_conv3x3_wrap_bias_and_decline():
     got320 = pallas_conv.conv3x3_wrap(jnp.zeros((1, 16, 320, 8)), k,
                                       interpret=True)
     assert got320 is not None and got320.shape == (1, 16, 320, 8)
+
+
+def test_conv3x3_wrap_dma_matches_xla():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 16, 128, 12).astype(np.float32))
+    k = jnp.asarray((rng.rand(3, 3, 12, 10) - 0.5).astype(np.float32))
+    got = pallas_conv.conv3x3_wrap_dma(x, k, row_block=8, interpret=True)
+    assert got is not None
+    ref = _xla_wrap_conv(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
