@@ -63,18 +63,35 @@ class SpatialLayerNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
+    def __call__(self, x: Array, stats=None, true_c: int = None) -> Array:
+        """stats=(sum, sumsq, count) skips the reduction passes (the
+        fused conv kernel already accumulated them); true_c declares the
+        REAL channel count of a lane-padded activation — params cover
+        the real channels, pad lanes normalize to exact zeros (gamma=0,
+        beta=0 extension) so padded chains stay clean."""
+        c = true_c or x.shape[-1]
         orig_dtype = x.dtype
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+        if stats is None:
+            mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3),
+                           keepdims=True)
+        else:
+            s1, s2, n = stats
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         beta = self.param("beta", nn.initializers.zeros, (c,),
                           self.param_dtype)
         gamma = self.param("gamma", nn.initializers.ones, (c,),
                            self.param_dtype)
+        gamma32 = gamma.astype(jnp.float32)
+        beta32 = beta.astype(jnp.float32)
+        if x.shape[-1] != c:
+            padn = x.shape[-1] - c
+            gamma32 = jnp.pad(gamma32, (0, padn))
+            beta32 = jnp.pad(beta32, (0, padn))
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        y = y * gamma32 + beta32
         return y.astype(orig_dtype)
 
 
@@ -131,18 +148,24 @@ class WrapConv3x3(nn.Module):
     """
     features: int
     use_pallas: bool = False
+    fused_ln: bool = False
+    pallas_interpret: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        cin = x.shape[-1]
+    def __call__(self, x: Array, cin_true: int = None):
+        cin = cin_true or x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, cin, self.features), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         xc = x.astype(self.dtype)
+
+        if self.fused_ln:
+            return self._fused(xc, kernel, bias, cin)
+
         if self.use_pallas:
             from matryodshka_tpu.ops import pallas_conv
             out = pallas_conv.conv3x3_wrap_dma(xc,
@@ -155,6 +178,43 @@ class WrapConv3x3(nn.Module):
             xp, kernel.astype(self.dtype), (1, 1), ((1, 1), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + bias.astype(self.dtype)
+
+    def _fused(self, xc: Array, kernel: Array, bias: Array, cin: int):
+        """Fused conv + layer-norm-statistics contract: input may be
+        lane-padded beyond `cin` (pad lanes ignored); returns
+        (y [B, H, W, cout_pad] with ZERO pad lanes, s1 [B], s2 [B]) —
+        the biased conv output plus its LN sums over real channels."""
+        from matryodshka_tpu.ops import pallas_conv
+        b = xc.shape[0]
+        cout = self.features
+        use_k = (self.pallas_interpret
+                 or jax.default_backend() == "tpu")
+        ys, s1s, s2s = [], [], []
+        for i in range(b):
+            got = None
+            if use_k and xc.shape[-1] % 128 == 0:
+                got = pallas_conv.conv3x3_ln_stats(
+                    xc[i], kernel.astype(self.dtype), bias, cin,
+                    interpret=self.pallas_interpret)                     if xc.shape[1] % pallas_conv.ROW_BLOCK == 0 else None
+            if got is None:
+                # XLA fallback with the identical contract
+                xr = xc[i][None, :, :, :cin]
+                xp = jnp.concatenate([xr[:, :, -1:], xr, xr[:, :, :1]],
+                                     axis=2)
+                y = jax.lax.conv_general_dilated(
+                    xp, kernel.astype(self.dtype), (1, 1),
+                    ((1, 1), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+                y = (y.astype(jnp.float32)
+                     + bias.astype(jnp.float32)).astype(self.dtype)
+                cp = 128 * -(-cout // 128)
+                y32 = y.astype(jnp.float32)
+                got = (jnp.pad(y, ((0, 0), (0, 0), (0, cp - cout))),
+                       jnp.sum(y32), jnp.sum(y32 * y32))
+            ys.append(got[0])
+            s1s.append(got[1])
+            s2s.append(got[2])
+        return jnp.stack(ys), jnp.stack(s1s), jnp.stack(s2s)
 
 
 class MSIUNet(nn.Module):
@@ -172,6 +232,7 @@ class MSIUNet(nn.Module):
     variant: str = "wrap"
     smoothed: bool = False   # NN-upsample + conv instead of conv_transpose
     use_pallas_conv: bool = False
+    pallas_interpret: bool = False   # fused path off-TPU (tests)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -196,6 +257,32 @@ class MSIUNet(nn.Module):
                         padding="SAME", kernel_dilation=(rate, rate),
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=name)(x)
+        elif (stride == 1 and rate == 1
+              and (self.use_pallas_conv or self.pallas_interpret)
+              and (self.pallas_interpret or x.shape[-1] >= 160)):
+            # gated to the fat-input layers (conv1_1's 192-channel
+            # 320x640): the only shape class where the fused kernel
+            # beats XLA's conv pipeline on this chip (isolated: 1.74 vs
+            # 2.53 ms); the thin layers measured at par or worse
+            # fused conv + layer-norm-statistics: the kernel streams its
+            # own halo windows from HBM and accumulates the LN sums, so
+            # the XLA side runs just the one normalize+relu pass
+            cin = x.shape[-1]
+            cp = 128 * -(-cin // 128)
+            xpad = (jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
+                    if cp != cin else x)
+            y, s1, s2 = WrapConv3x3(
+                feats, use_pallas=True, fused_ln=True,
+                pallas_interpret=self.pallas_interpret, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)(xpad,
+                                                         cin_true=cin)
+            n = float(y.shape[1] * y.shape[2] * feats)
+            y = SpatialLayerNorm(param_dtype=self.param_dtype,
+                                 name=name + "_ln")(
+                y, stats=(s1[:, None, None, None],
+                          s2[:, None, None, None], n), true_c=feats)
+            y = nn.relu(y)
+            return y[..., :feats] if y.shape[-1] != feats else y
         elif stride == 1 and rate == 1:
             y = WrapConv3x3(feats, use_pallas=self.use_pallas_conv,
                             dtype=self.dtype,

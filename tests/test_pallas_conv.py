@@ -53,3 +53,24 @@ def test_conv3x3_wrap_dma_matches_xla():
     ref = _xla_wrap_conv(x, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_ln_stats_matches_xla_layer():
+    """Fused conv + LN-statistics kernel == nn-style conv layer math:
+    same conv output (real channels), stats equal to f32 sums."""
+    rng = np.random.RandomState(3)
+    h, w, cin, cout = 16, 128, 12, 10
+    cin_pad = 128
+    x = jnp.asarray(rng.rand(h, w, cin).astype(np.float32))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, cin_pad - cin)))
+    k = jnp.asarray((rng.rand(3, 3, cin, cout) - 0.5).astype(np.float32))
+    b = jnp.asarray(rng.rand(cout).astype(np.float32))
+    y, s1, s2 = pallas_conv.conv3x3_ln_stats(xp, k, b, cin, row_block=8,
+                                             interpret=True)
+    ref = _xla_wrap_conv(x[None], k)[0] + b
+    got = np.asarray(y)[:, :, :cout]
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+    assert np.asarray(y)[:, :, cout:].max() == 0.0
+    np.testing.assert_allclose(float(s1), float(jnp.sum(ref)), rtol=1e-5)
+    np.testing.assert_allclose(float(s2), float(jnp.sum(ref * ref)),
+                               rtol=1e-5)

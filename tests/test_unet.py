@@ -180,3 +180,20 @@ def test_atlas_pack_layout():
         np.testing.assert_allclose(
             atlas[0, r * h:(r + 1) * h, col * w:(col + 1) * w],
             np.asarray(pred[0, :, :, k]), rtol=1e-6)
+
+
+def test_fused_conv_ln_net_matches_unfused():
+    """use_pallas_conv routes stride-1 convs through the fused
+    conv+LN-statistics kernel (interpret mode here); the whole net must
+    match the unfused wrap net closely (bf16 sum-order noise only)."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(1, 32, 128, 12).astype(np.float32))
+    base = MSIUNet(num_outputs=8, ngf=8, variant="wrap",
+                   dtype=jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(params, x)
+    fused = MSIUNet(num_outputs=8, ngf=8, variant="wrap",
+                    dtype=jnp.float32, pallas_interpret=True)
+    got = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
