@@ -110,6 +110,15 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / (iters * chain) * 1000.0
 
+    # exactness of the fused render vs the gather path on this input
+    # (the kernel's ladder is exact; bf16 storage adds ~2e-3 quantization)
+    gather_out = jax.jit(lambda r, t: msi_lib.render_equirect_view(
+        r.astype(jnp.float32), jnp.tile(jnp.eye(4)[None], (r.shape[0], 1, 1)),
+        t, msi_depths))(rgba, batch["tgt_pose"])
+    pallas_out = render_only(rgba, batch["tgt_pose"])
+    err = float(jnp.max(jnp.abs(gather_out - pallas_out)))
+    print(f"[bench] pallas-vs-gather max err: {err:.2e}", file=sys.stderr)
+
     ms_sweep = timeit(sweep_only, batch, iters=20)
     ms_net = timeit(net_only, state.params, net_input, iters=20)
     ms_render = timeit(render_only, rgba, batch["tgt_pose"], iters=20)

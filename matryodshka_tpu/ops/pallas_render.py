@@ -57,7 +57,7 @@ Array = jax.Array
 # lat 80.7deg, amp 6.2) kh_max=64 supports |t| <= 0.10m at r_min=1.
 KH_MAX = 64
 KV_MAX = 7
-ROW_BLOCK = 16
+ROW_BLOCK = 32
 CAP_ROWS = 16
 
 
