@@ -52,13 +52,26 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # Static residual clamps (the ladders are runtime-sized; these only bound
-# the tables and the nearest-edge clamp). kh covers
-# |t|*(W/2pi)/(r_min*cos(lat_cap)); with the defaults (cap=16 rows ->
-# lat 80.7deg, amp 6.2) kh_max=64 supports |t| <= 0.10m at r_min=1.
-KH_MAX = 64
-KV_MAX = 7
+# the tables and the nearest-edge clamp, so generous values cost nothing
+# at runtime). The DEFAULTS SCALE WITH RESOLUTION — vertical parallax is
+# |t|*(W/2pi)/r_min pixels and the horizontal bound multiplies by the
+# 1/cos(lat) amplification at the cap boundary; fixed clamps silently
+# nearest-edge-clamped near shells at 1024x512 (found by the
+# multi-resolution check, err 0.75).
+MAX_T = 0.07            # supported |t| (meters) at r_min = 1
 ROW_BLOCK = 32
 CAP_ROWS = 16
+KV_MAX = 7              # the 640x320 default, kept for test stability
+KH_MAX = 64
+
+
+def default_bounds(h: int, w: int, cap: int):
+    """Resolution-scaled (kh_max, kv_max) supporting |t| <= MAX_T."""
+    import math
+    kv = max(7, int(math.ceil(MAX_T * w / (2.0 * math.pi))) + 1)
+    amp = 1.0 / math.sin((cap + 0.5) * math.pi / h)
+    kh = int(math.ceil(kv * amp)) + 2
+    return kh, kv
 
 
 def _band_geometry(cap: int, row_block: int, kv_max: int):
@@ -287,7 +300,7 @@ def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
 def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
                                cap: int = CAP_ROWS,
                                row_block: int = ROW_BLOCK,
-                               kh_max: int = KH_MAX, kv_max: int = KV_MAX,
+                               kh_max: int = None, kv_max: int = None,
                                dtype=jnp.float32,
                                interpret: bool = False) -> Optional[Array]:
     """Composite the mid rows [cap, H-cap) of an ERP novel view.
@@ -300,6 +313,9 @@ def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
     hm = h - 2 * cap
     if c != 4 or hm <= 0 or hm % row_block or w % 128 or h - 2 * cap < 8:
         return None
+    dkh, dkv = default_bounds(h, w, cap)
+    kh_max = dkh if kh_max is None else kh_max
+    kv_max = dkv if kv_max is None else kv_max
     if not interpret and jax.default_backend() != "tpu":
         return None
     layers = prepare_layers(rgba_layers, cap, row_block, kv_max, dtype)
