@@ -157,13 +157,14 @@ def pixel_to_vertex_lookup(verts: np.ndarray, faces: np.ndarray,
     Minv[ok_face] = np.linalg.inv(M[ok_face])
 
     # nearest vertex per pixel (chunked matmul argmax; the [chunk, V]
-    # score block is the memory hog at high subdivision — cap it)
+    # score block is the memory hog at high subdivision — cap it).
+    # float64 like the loop reference: near-tie pixels would pick a
+    # different vertex (hence candidate-face set) under an f32 argmax.
     nearest = np.empty(n, np.int64)
-    nchunk = max(1024, min(65536, (1 << 26) // max(1, len(verts))))
-    vt = np.ascontiguousarray(v.T.astype(np.float32))
-    dirs32 = dirs.astype(np.float32)
+    nchunk = max(1024, min(65536, (1 << 25) // max(1, len(verts))))
+    vt = np.ascontiguousarray(v.T)
     for s in range(0, n, nchunk):
-        d = dirs32[s:s + nchunk] @ vt
+        d = dirs[s:s + nchunk] @ vt
         nearest[s:s + nchunk] = np.argmax(d, axis=1)
 
     out = np.zeros((n, 3, 2), np.float64)

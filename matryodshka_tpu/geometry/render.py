@@ -104,7 +104,14 @@ def reproject_equirect(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
     return _gather_layers(rgba_layers, uv)
 
 
-_CAP_BAND_PAD = 16  # source rows kept beyond the cap (covers |dv| < 16)
+def _cap_band_pad(h: int, w: int, cap: int) -> int:
+    """Source rows kept beyond the cap. Tracks the ladder kernel's
+    resolution-scaled vertical bound (pallas_render.default_bounds gives
+    kv > 16 at high widths for MAX_T), so the cap contract covers the
+    same |t| envelope the kernel itself advertises."""
+    from matryodshka_tpu.ops import pallas_render
+    _, kv = pallas_render.default_bounds(h, w, cap)
+    return max(16, kv + 2)
 
 
 def _cap_over(rgba_layers: Array, uv_rows: Array, top: bool,
@@ -114,11 +121,11 @@ def _cap_over(rgba_layers: Array, uv_rows: Array, top: bool,
     Gathers from a SMALL source band around the pole instead of the full
     layer stack — the quad-pack table build otherwise costs more than
     the gathers themselves. Band indexing reproduces the gather path's
-    mod-H vertical wrap exactly for |dv| < _CAP_BAND_PAD (the same
+    mod-H vertical wrap exactly for |dv| < _cap_band_pad (the same
     translation-bound contract as the ladder kernel).
     """
-    h = rgba_layers.shape[0]
-    bp = _CAP_BAND_PAD
+    h, w = rgba_layers.shape[0], rgba_layers.shape[1]
+    bp = _cap_band_pad(h, w, cap)
     if top:
         band = jnp.concatenate([rgba_layers[h - bp:], rgba_layers[:cap + bp]],
                                axis=0)
@@ -141,20 +148,38 @@ def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
     use_pallas dispatches the mid rows to the fused ladder kernel
     (ops/pallas_render.py; translation-dominant poses) and renders only
     the two pole caps with gathers; falls back wholesale when the kernel
-    declines the shape/backend.
+    declines the shape/backend (static) — or, via lax.cond, when the
+    POSE's residuals exceed the kernel's clamp contract at runtime
+    (rotation-dominant / |t| > MAX_T poses would otherwise get silent
+    nearest-edge-clamped output).
     """
     h, w = rgba_layers.shape[0], rgba_layers.shape[1]
     if use_pallas:
         from matryodshka_tpu.ops import pallas_render
-        uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
         opts = pallas_opts or {}
-        mid = pallas_render.render_equirect_mid_pallas(rgba_layers, uv,
-                                                       **opts)
-        if mid is not None:
-            cap = opts.get("cap", pallas_render.CAP_ROWS)
-            top = _cap_over(rgba_layers, uv[:, :cap], True, cap)
-            bot = _cap_over(rgba_layers, uv[:, h - cap:], False, cap)
-            return jnp.concatenate([top, mid, bot], axis=0)
+        cap = opts.get("cap", pallas_render.CAP_ROWS)
+        if pallas_render.shape_supported(
+                h, w, rgba_layers.shape[3], cap,
+                opts.get("row_block", pallas_render.ROW_BLOCK),
+                opts.get("interpret", False)):
+            uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
+            ok = pallas_render.residual_ok(
+                uv, cap, opts.get("kh_max"), opts.get("kv_max"),
+                cap_pad=_cap_band_pad(h, w, cap))
+
+            def fused_path(layers, uv):
+                mid = pallas_render.render_equirect_mid_pallas(layers, uv,
+                                                               **opts)
+                top = _cap_over(layers, uv[:, :cap], True, cap)
+                bot = _cap_over(layers, uv[:, h - cap:], False, cap)
+                return jnp.concatenate([top, mid, bot], axis=0)
+
+            def gather_path(layers, uv):
+                proj = _gather_layers(layers, uv)
+                return over_composite(jnp.moveaxis(proj, 0, 2))
+
+            return jax.lax.cond(ok, fused_path, gather_path,
+                                rgba_layers, uv)
     proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
     return over_composite(jnp.moveaxis(proj, 0, 2))
 

@@ -190,12 +190,14 @@ class WrapConv3x3(nn.Module):
         use_k = (self.pallas_interpret
                  or jax.default_backend() == "tpu")
         ys, s1s, s2s = [], [], []
+        kernel_fits = (use_k and xc.shape[-1] % 128 == 0
+                       and xc.shape[1] % pallas_conv.ROW_BLOCK == 0)
         for i in range(b):
             got = None
-            if use_k and xc.shape[-1] % 128 == 0:
+            if kernel_fits:
                 got = pallas_conv.conv3x3_ln_stats(
                     xc[i], kernel.astype(self.dtype), bias, cin,
-                    interpret=self.pallas_interpret)                     if xc.shape[1] % pallas_conv.ROW_BLOCK == 0 else None
+                    interpret=self.pallas_interpret)
             if got is None:
                 # XLA fallback with the identical contract
                 xr = xc[i][None, :, :, :cin]

@@ -361,8 +361,13 @@ def _conv_ln_kernel(x_hbm, w_ref, b_ref, out_ref, stats_ref, win_ref,
                 gi = pltpu.roll(gi, width - 1, axis=1)
             acc = gi if acc is None else acc + gi
     acc = acc + b_ref[0:1, 0:cout][None]   # [1, 1, cout], kept >=2D
-    stats_ref[i, 0] = jnp.sum(acc)
-    stats_ref[i, 1] = jnp.sum(acc * acc)
+    # Stats over the OUTPUT-dtype-rounded activations: the layer norm
+    # normalizes the emitted (possibly bf16) tensor, and the XLA
+    # fallback computes its sums from that same rounded tensor — both
+    # paths must define the statistics over identical values.
+    accq = acc.astype(out_ref.dtype).astype(jnp.float32)
+    stats_ref[i, 0] = jnp.sum(accq)
+    stats_ref[i, 1] = jnp.sum(accq * accq)
     out_ref[:, :, 0:cout] = acc.astype(out_ref.dtype)
     if cout_pad > cout:
         out_ref[:, :, cout:] = jnp.zeros(

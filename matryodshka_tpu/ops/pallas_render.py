@@ -30,7 +30,9 @@ The 1/cos(lat) amplification is unbounded at the poles, so the kernel
 only renders rows [cap, H-cap); the caller (geometry/render.py) renders
 the two pole caps with the gather path and concatenates. Residuals
 beyond the static maxima clamp to the nearest rung (nearest-edge
-sample); callers keep |t| small enough that this never fires.
+sample) — `residual_ok` checks the actual uv field against the bounds,
+and geometry/render.py falls back to the gather path (lax.cond) when a
+pose exceeds the contract, so the fused path is safe by construction.
 
 Compositing happens IN-KERNEL: the grid iterates shells back-to-front
 and accumulates `out = rgb*a + out*(1-a)` (layer 0's alpha ignored, per
@@ -297,6 +299,51 @@ def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
     return jnp.concatenate([x[:, :, -pad:], x, x[:, :, :pad]], axis=2)
 
 
+def shape_supported(h: int, w: int, c: int, cap: int = CAP_ROWS,
+                    row_block: int = ROW_BLOCK,
+                    interpret: bool = False) -> bool:
+    """Static dispatch predicate: can the ladder kernel run this shape
+    on this backend? (Runtime pose bounds are checked separately by
+    residual_ok — geometry/render.py selects per-frame via lax.cond.)"""
+    hm = h - 2 * cap
+    if c != 4 or hm <= 0 or hm % row_block or w % 128 or hm < 8:
+        return False
+    return interpret or jax.default_backend() == "tpu"
+
+
+def residual_ok(uv: Array, cap: int = CAP_ROWS,
+                kh_max: int = None, kv_max: int = None,
+                cap_pad: int = 16) -> Array:
+    """Scalar bool: does this uv field stay inside the fused-render
+    contract? True iff (a) every mid-row residual fits the ladder's
+    static clamps (the kernel nearest-edge-clamps beyond them — silent
+    garbage for rotation-dominant or large-|t| poses) and (b) every
+    pole-cap vertical residual fits the cap gather band. Cheap vector
+    reductions over fields the kernel path computes anyway (XLA CSE).
+    """
+    p, h, w, _ = uv.shape
+    dkh, dkv = default_bounds(h, w, cap)
+    kh_max = dkh if kh_max is None else kh_max
+    kv_max = dkv if kv_max is None else kv_max
+    um = uv[:, cap:h - cap, :, 0]
+    vm = uv[:, cap:h - cap, :, 1]
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
+    i_mid = (jax.lax.broadcasted_iota(jnp.float32, (1, h - 2 * cap, 1), 1)
+             + cap)
+    dk_raw = (w - 1.0) - jnp.floor(um) - j
+    dk = dk_raw - w * jnp.floor((dk_raw + w / 2.0) / w)
+    dy = jnp.floor(vm) - i_mid
+    ok_mid = ((jnp.max(jnp.abs(dk)) <= kh_max)
+              & (jnp.max(jnp.abs(dy)) <= kv_max))
+    v_top = uv[:, :cap, :, 1]
+    v_bot = uv[:, h - cap:, :, 1]
+    i_top = jax.lax.broadcasted_iota(jnp.float32, (1, cap, 1), 1)
+    i_bot = i_top + (h - cap)
+    ok_caps = ((jnp.max(jnp.abs(jnp.floor(v_top) - i_top)) <= cap_pad - 2)
+               & (jnp.max(jnp.abs(jnp.floor(v_bot) - i_bot)) <= cap_pad - 2))
+    return ok_mid & ok_caps
+
+
 def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
                                cap: int = CAP_ROWS,
                                row_block: int = ROW_BLOCK,
@@ -311,13 +358,11 @@ def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
     """
     h, w, p, c = rgba_layers.shape
     hm = h - 2 * cap
-    if c != 4 or hm <= 0 or hm % row_block or w % 128 or h - 2 * cap < 8:
+    if not shape_supported(h, w, c, cap, row_block, interpret):
         return None
     dkh, dkv = default_bounds(h, w, cap)
     kh_max = dkh if kh_max is None else kh_max
     kv_max = dkv if kv_max is None else kv_max
-    if not interpret and jax.default_backend() != "tpu":
-        return None
     layers = prepare_layers(rgba_layers, cap, row_block, kv_max, dtype)
     uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))  # [P, 2, Hm, W]
     return _ladder_render_mid(layers, uvm.astype(jnp.float32), cap,

@@ -257,6 +257,12 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
     # fast flag per (plane, block): every valid row's tap fits the ladder
     fast = (params["dy_relevant"].reshape(p, n_blocks, row_block)
             .max(axis=2) <= _KVS).astype(jnp.int32)
+    if row_block % 8:
+        # The fast-ladder band slice asserts an 8-aligned sublane start
+        # (pl.multiple_of in _sweep_kernel); when _row_block fell back to
+        # 1 that promise is false, so route every block to the exact
+        # per-row path instead of risking a misaligned vector load.
+        fast = jnp.zeros_like(fast)
     out = pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block),

@@ -74,6 +74,38 @@ def test_residual_tables_cover_field():
     assert int(khi[-1].max()) >= 2
 
 
+def test_rotation_pose_falls_back_to_gather():
+    # A rotation-dominant pose blows the ladder's residual clamps; the
+    # dispatcher must detect it (residual_ok) and route the WHOLE view
+    # through the gather path instead of emitting clamped garbage.
+    rng = np.random.RandomState(2)
+    layers = _layers(rng)
+    radii = _radii()
+    # pitch: a yaw would be a pure horizontal ERP shift (the ladder
+    # handles those); pitch bends rows vertically past kv_max
+    ang = 0.5
+    rot = jnp.asarray([[1, 0, 0, 0],
+                       [0, np.cos(ang), -np.sin(ang), 0],
+                       [0, np.sin(ang), np.cos(ang), 0],
+                       [0, 0, 0, 1]], dtype=jnp.float32)
+    tgt = jnp.asarray([0.01, 0.0, 0.0])
+    uv = intersect.intersect_sphere(rot, tgt, radii, W, H)
+    assert not bool(pallas_render.residual_ok(uv, cap=8, kh_max=14,
+                                              kv_max=5))
+    out = render.render_equirect_view(layers, rot, tgt, radii,
+                                      use_pallas=True, pallas_opts=OPTS)
+    ref = render.render_equirect_view(layers, rot, tgt, radii)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_residual_ok_true_for_small_translation():
+    radii = _radii()
+    uv = intersect.intersect_sphere(jnp.eye(4), jnp.asarray([0.03, 0, 0]),
+                                    radii, W, H)
+    assert bool(pallas_render.residual_ok(uv, cap=8, kh_max=14, kv_max=5))
+
+
 def test_declines_bad_shapes():
     layers = jnp.zeros((H, 100, P, 4))  # width not lane-aligned
     uv = jnp.zeros((P, H, 100, 2))
