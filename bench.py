@@ -47,8 +47,25 @@ def main():
     msi_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
 
+    def _e2e_prepared(params, batch):
+        outs = msi_lib.infer_msi_prepared(lambda p, x: model.apply(p, x),
+                                          params, cfg, batch, psv_depths)
+        if outs is None:
+            return None
+        b = outs["prepared"].shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        return msi_lib.render_equirect_view_from_prepared(
+            outs, eye, batch["tgt_pose"], msi_depths, cfg.height)
+
+    use_prepared = (cfg.use_pallas and cfg.input_type == "ODS"
+                    and jax.default_backend() == "tpu")
+
     @jax.jit
     def e2e(params, batch):
+        if use_prepared:
+            out = _e2e_prepared(params, batch)
+            if out is not None:
+                return out
         outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x), params,
                                     cfg, batch, psv_depths)
         rgba = outputs["rgba_layers"]
@@ -87,6 +104,37 @@ def main():
     rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,
                                  cfg.num_msi_planes)["rgba_layers"]
 
+    # prepared-path component stages (the layout-tax-free hot path)
+    if use_prepared:
+        from matryodshka_tpu.geometry import render as render_geo
+        from matryodshka_tpu.ops import pallas_render, pallas_sweep
+
+        @jax.jit
+        def sweep_prepared(batch):
+            ref = msi_lib.preprocess_image(batch["ref_image"])
+            src = msi_lib.preprocess_image(batch["src_image"])
+            return pallas_sweep.ods_sweep_identity_prepared(
+                ref, src, psv_depths, batch["intrinsics"],
+                out_dtype=cfg.jnp_compute_dtype)
+
+        _, fgF, bgF = sweep_prepared(batch)
+        cap_pad = render_geo._cap_band_pad(cfg.height, cfg.width,
+                                           pallas_render.CAP_ROWS)
+
+        @jax.jit
+        def assemble_render(msi_pred, fgF, bgF, tgt_pose):
+            per = [msi_lib.assemble_rgba_prepared(
+                cfg.which_color_pred, msi_pred[i], fgF[i], bgF[i],
+                cfg.num_msi_planes, cap_pad=cap_pad,
+                dtype=cfg.jnp_compute_dtype)
+                for i in range(msi_pred.shape[0])]
+            outs = {k: jnp.stack([d[k] for d in per])
+                    for k in ("prepared", "cap_top", "cap_bot")}
+            b = msi_pred.shape[0]
+            eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+            return msi_lib.render_equirect_view_from_prepared(
+                outs, eye, tgt_pose, msi_depths, cfg.height)
+
     # Through the remote-TPU relay, per-dispatch round trips (~25-35 ms)
     # dwarf the compute; chain K frames inside ONE jit with a data
     # dependency so the measurement is steady-state device time.
@@ -122,6 +170,17 @@ def main():
     ms_sweep = timeit(sweep_only, batch, iters=20)
     ms_net = timeit(net_only, state.params, net_input, iters=20)
     ms_render = timeit(render_only, rgba, batch["tgt_pose"], iters=20)
+    if use_prepared:
+        err_p = float(jnp.max(jnp.abs(
+            gather_out - assemble_render(pred, fgF, bgF,
+                                         batch["tgt_pose"]))))
+        print(f"[bench] prepared-vs-gather max err: {err_p:.2e}",
+              file=sys.stderr)
+        ms_sweep_p = timeit(sweep_prepared, batch, iters=20)
+        ms_ar = timeit(assemble_render, pred, fgF, bgF,
+                       batch["tgt_pose"], iters=20)
+        print(f"[bench] sweep_prepared={ms_sweep_p:.2f}ms "
+              f"assemble+render={ms_ar:.2f}ms", file=sys.stderr)
     ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)
 
     print(f"[bench] sweep={ms_sweep:.2f}ms net={ms_net:.2f}ms "

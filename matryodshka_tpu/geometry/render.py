@@ -134,6 +134,13 @@ def _cap_over(rgba_layers: Array, uv_rows: Array, top: bool,
         band = jnp.concatenate([rgba_layers[h - cap - bp:],
                                 rgba_layers[:bp]], axis=0)
         vshift = float(bp + cap - h)
+    return _cap_over_band(band, uv_rows, vshift)
+
+
+def _cap_over_band(band: Array, uv_rows: Array, vshift: float) -> Array:
+    """Gather-render a pole cap from a prebuilt source band
+    [bandH, W, P, 4]; uv_rows [P, cap, W, 2] in full-image coordinates,
+    vshift maps them into the band."""
     uv_b = jnp.stack([uv_rows[..., 0], uv_rows[..., 1] + vshift], axis=-1)
     proj = _gather_layers(band, uv_b)
     return over_composite(jnp.moveaxis(proj, 0, 2))
@@ -182,6 +189,47 @@ def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,
                                 rgba_layers, uv)
     proj = reproject_equirect(rgba_layers, tgt_pose, tgt_pos, radii)
     return over_composite(jnp.moveaxis(proj, 0, 2))
+
+
+def render_equirect_view_prepared(prepared: Array, cap_top: Array,
+                                  cap_bot: Array, tgt_pose: Array,
+                                  tgt_pos: Array, radii: Array,
+                                  height: int, cap: int, row_block: int,
+                                  cap_pad: int,
+                                  interpret: bool = False) -> Array:
+    """Novel ERP view from render-native layers (the zero-layout-tax hot
+    path): prepared [P, 4, H+2*pad, W] + pole bands from
+    msi.assemble_rgba_prepared -> [H, W, 3].
+
+    Same runtime safety contract as render_equirect_view(use_pallas=True):
+    poses whose residuals exceed the ladder/cap bounds take a gather-path
+    branch reconstructed from `prepared` (lax.cond — only the taken
+    branch executes).
+    """
+    from matryodshka_tpu.ops import pallas_render
+    p, c4, hpad, w = prepared.shape
+    h = height
+    uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
+    ok = pallas_render.residual_ok(uv, cap, cap_pad=cap_pad)
+
+    def fused_path(prepared, cap_top, cap_bot, uv):
+        mid = pallas_render.render_mid_prepared(prepared, uv, cap,
+                                                row_block,
+                                                interpret=interpret)
+        top = _cap_over_band(cap_top, uv[:, :cap], float(cap_pad))
+        bot = _cap_over_band(cap_bot, uv[:, h - cap:],
+                             float(cap_pad + cap - h))
+        return jnp.concatenate([top, mid, bot], axis=0)
+
+    def gather_path(prepared, cap_top, cap_bot, uv):
+        pad = (hpad - h) // 2
+        interior = prepared[:, :, pad:pad + h, :].astype(jnp.float32)
+        layers = jnp.transpose(jnp.flip(interior, axis=3), (2, 3, 0, 1))
+        proj = _gather_layers(layers, uv)
+        return over_composite(jnp.moveaxis(proj, 0, 2))
+
+    return jax.lax.cond(ok, fused_path, gather_path,
+                        prepared, cap_top, cap_bot, uv)
 
 
 def render_equirect_depth(rgba_layers: Array, tgt_pose: Array,

@@ -122,6 +122,78 @@ def assemble_rgba(which_color_pred: str, msi_pred: Array, net_input: Array,
     return out
 
 
+def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
+                           fgF: Array, bgF: Array, num_planes: int,
+                           cap: int = None, row_block: int = None,
+                           cap_pad: int = 16, dtype=None):
+    """CNN output + FLIPPED plane-major PSV volumes -> render-native
+    layers, in one fused XLA pass (no [H,W,P,4] intermediate).
+
+    The standard pipeline pays ~3 ms/frame of pure layout tax at 640x320:
+    assemble_rgba materializes channel-minor [H,W,P,4], which
+    prepare_layers immediately transposes/flips/pads into the ladder
+    kernel's [P,4,H+2*pad,W]. Here the blend happens directly in the
+    kernel-native layout: fgF/bgF come from the sweep kernel already
+    flipped W-minor (pallas_sweep.ods_sweep_identity_prepared — the flip
+    is a free shift-constant change), and only msi_pred pays one
+    [H,W,K]->[K,H,W] transpose.
+
+    Args:
+      msi_pred: [H, W, K] tanh outputs (UNflipped, channel-minor).
+      fgF, bgF: [P, 3, H, W] flipped plane-major sweeps (ref, src eye).
+    Returns dict:
+      prepared: [P, 4, H+2*pad, W] flipped + row-wrap-padded (dtype or
+        fgF.dtype) — feed to pallas_render.render_mid_prepared.
+      cap_top, cap_bot: [cap(+2*cap_pad), W, P, 4] f32 UNflipped
+        channel-minor pole bands for the gather-path cap render.
+    Same color math as assemble_rgba (msi.py:108-273), f32 blends.
+    """
+    from matryodshka_tpu.ops import pallas_render
+    p = num_planes
+    _, _, h, w = fgF.shape
+    geom = pallas_render.prepared_geometry(
+        h, w, cap if cap is not None else pallas_render.CAP_ROWS,
+        row_block if row_block is not None else pallas_render.ROW_BLOCK)
+    pad = geom["pad"]
+    dtype = fgF.dtype if dtype is None else dtype
+
+    predF = jnp.flip(jnp.transpose(msi_pred, (2, 0, 1)), axis=2)  # [K,H,W]
+    fg32 = fgF.astype(jnp.float32)
+    if which_color_pred == "alpha_only":
+        alphaF = (predF[:p] + 1.0) / 2.0
+        rgbF = fg32
+    else:
+        blendF = ((predF[:p] + 1.0) / 2.0)[:, None]    # [P, 1, H, W]
+        alphaF = (predF[p:2 * p] + 1.0) / 2.0
+        if which_color_pred == "blend_psv":
+            rgbF = blendF * fg32 + (1.0 - blendF) * bgF.astype(jnp.float32)
+        elif which_color_pred == "blend_bg":
+            rgbF = blendF * fg32 + (1.0 - blendF) * predF[None, -3:]
+        elif which_color_pred == "blend_bg_psv":
+            rgbF = blendF * fg32 + (1.0 - blendF) * bgF.astype(jnp.float32)
+            bgw = ((predF[2 * p:3 * p] + 1.0) / 2.0)[:, None]
+            rgbF = bgw * rgbF + (1.0 - bgw) * predF[None, -3:]
+        else:
+            raise ValueError(which_color_pred)
+    layersF = jnp.concatenate([rgbF, alphaF[:, None]], axis=1)  # [P,4,H,W]
+
+    prepared = jnp.concatenate([layersF[:, :, h - pad:], layersF,
+                                layersF[:, :, :pad]],
+                               axis=2).astype(dtype)
+
+    bp = cap_pad
+    c_rows = geom["cap"]
+
+    def _cap_band(lo_wrap, hi):
+        bandF = jnp.concatenate([layersF[:, :, lo_wrap:],
+                                 layersF[:, :, :hi]], axis=2)
+        return jnp.transpose(jnp.flip(bandF, axis=3), (2, 3, 0, 1))
+
+    cap_top = _cap_band(h - bp, c_rows + bp)
+    cap_bot = _cap_band(h - c_rows - bp, bp)
+    return {"prepared": prepared, "cap_top": cap_top, "cap_bot": cap_bot}
+
+
 def assemble_hres_rgba(which_color_pred: str, outputs: Dict[str, Array],
                        hres_net_input: Array, num_planes: int,
                        hres_h: int, hres_w: int) -> Array:
@@ -206,6 +278,63 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
             cfg.which_color_pred, outputs, hres_net_input,
             cfg.num_msi_planes, cfg.hres_height, cfg.hres_width)
     return outputs
+
+
+def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
+                       batch: Dict[str, Array], psv_depths: Array,
+                       interpret: bool = False) -> Optional[Dict[str, Array]]:
+    """The zero-layout-tax inference hot path: sweep kernel emits the
+    render-native flipped volumes, the assemble blends directly into the
+    ladder kernel's layout. Returns dict(prepared [B,P,4,H+2p,W],
+    cap_top/cap_bot [B,...], msi_pred, net_input) — or None when the
+    fused path doesn't apply (non-ODS input, unsupported backend/shape);
+    callers fall back to infer_msi + render_equirect_view.
+    """
+    from matryodshka_tpu.geometry import render as render_geo
+    from matryodshka_tpu.ops import pallas_render, pallas_sweep
+    h, w = cfg.height, cfg.width
+    if cfg.input_type != "ODS" or not cfg.use_pallas:
+        return None
+    if not pallas_render.shape_supported(h, w, 4, interpret=interpret):
+        return None
+    ref = preprocess_image(batch["ref_image"])
+    src = preprocess_image(batch["src_image"])
+    net_input, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
+        ref, src, psv_depths, batch["intrinsics"],
+        out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+    msi_pred = apply_fn(params, net_input)
+    cap_pad = render_geo._cap_band_pad(h, w, pallas_render.CAP_ROWS)
+    b = net_input.shape[0]
+    per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
+                                  fgF[i], bgF[i], cfg.num_msi_planes,
+                                  cap_pad=cap_pad,
+                                  dtype=cfg.jnp_compute_dtype)
+           for i in range(b)]
+    out = {k: jnp.stack([d[k] for d in per])
+           for k in ("prepared", "cap_top", "cap_bot")}
+    out["msi_pred"] = msi_pred
+    out["net_input"] = net_input
+    return out
+
+
+def render_equirect_view_from_prepared(outputs: Dict[str, Array],
+                                       tgt_pose_rt: Array, tgt_pos: Array,
+                                       radii: Array, height: int,
+                                       interpret: bool = False) -> Array:
+    """Batched companion to infer_msi_prepared: [B,...] -> [B, H, W, 3]."""
+    from matryodshka_tpu.geometry import render as render_geo
+    from matryodshka_tpu.ops import pallas_render
+    b = outputs["prepared"].shape[0]
+    w = outputs["prepared"].shape[-1]
+    cap = pallas_render.CAP_ROWS
+    cap_pad = render_geo._cap_band_pad(height, w, cap)
+    return jnp.stack([
+        render_lib.render_equirect_view_prepared(
+            outputs["prepared"][i], outputs["cap_top"][i],
+            outputs["cap_bot"][i], tgt_pose_rt[i], tgt_pos[i], radii,
+            height, cap, pallas_render.ROW_BLOCK, cap_pad,
+            interpret=interpret)
+        for i in range(b)])
 
 
 def infer_gcn_msi(gcn_apply, gcn_params, cfg: MatryConfig,

@@ -288,6 +288,37 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
     return jnp.transpose(out, (1, 2, 0))
 
 
+def prepared_geometry(h: int, w: int, cap: int = CAP_ROWS,
+                      row_block: int = ROW_BLOCK):
+    """The one source of truth for the render-native layer layout:
+    (cap, row_block, kh_max, kv_max, pad) for an HxW ERP. Producers
+    (msi.assemble_rgba_prepared) and the consumer (_ladder_render_mid)
+    must agree on `pad` or the band slices read the wrong rows."""
+    kh, kv = default_bounds(h, w, cap)
+    _, _, pad = _band_geometry(cap, row_block, kv)
+    return {"cap": cap, "row_block": row_block, "kh_max": kh,
+            "kv_max": kv, "pad": pad}
+
+
+def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
+                        row_block: int = ROW_BLOCK,
+                        kh_max: int = None, kv_max: int = None,
+                        interpret: bool = False) -> Array:
+    """Ladder-render the mid rows from an ALREADY render-native layer
+    stack (flipped + row-wrap-padded [P, 4, H+2*pad, W], any dtype) —
+    the layout assemble_rgba_prepared emits, skipping prepare_layers'
+    transpose/flip/pad tax entirely. uv: [P, H, W, 2]."""
+    p, c, hpad, w = prepared.shape
+    h = uv.shape[1]
+    geom = prepared_geometry(h, w, cap, row_block)
+    kh_max = geom["kh_max"] if kh_max is None else kh_max
+    kv_max = geom["kv_max"] if kv_max is None else kv_max
+    uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))
+    return _ladder_render_mid(prepared, uvm.astype(jnp.float32), cap,
+                              row_block, kh_max, kv_max,
+                              interpret=interpret)
+
+
 def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
                    kv_max: int = KV_MAX, dtype=jnp.float32) -> Array:
     """[H, W, P, 4] -> flipped + row-wrap-padded [P, 4, H+2*pad, W]."""

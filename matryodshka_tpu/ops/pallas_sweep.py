@@ -46,12 +46,18 @@ _VPAD = 8
 
 
 def _row_params(order: int, depths: Array, intrinsics: Array,
-                height: int, width: int):
+                height: int, width: int, flip_out: bool = False):
     """Per-(plane, row) sweep parameters via the reference projection.
 
     Returns dict of [P, H] arrays: y0, y1 (int32 vertical taps), fy,
     shift (int32 lane-slice start), fx, valid (int32), and the park
     value coordinates for invalid rows (the reference parks uv at (1,1)).
+
+    flip_out: parameters for emitting the horizontally FLIPPED volume
+    (the render kernel's native orientation) from the UNFLIPPED source:
+    outF[j] = out[W-1-j] = row[(j + i0 + 1) mod W], so the lane shift
+    becomes i0+1 on the unflipped row and the second bilinear tap sits
+    one lane LEFT (roll W-1) instead of right.
     """
     p = depths.shape[0]
     S, T = grids.lat_long_grid((height, width))
@@ -87,8 +93,12 @@ def _row_params(order: int, depths: Array, intrinsics: Array,
     i0f = jnp.floor(u0)
     fx = u0 - i0f
     i0 = jnp.mod(i0f.astype(jnp.int32), width)
-    # out_a[j] = rowA[(i0 - j) mod W] = flipped_row[(j + W-1-i0) mod W]
-    shift = jnp.mod(width - 1 - i0, width)
+    if flip_out:
+        # outF_a[j] = rowA[(j + i0 + 1) mod W] on the UNFLIPPED row
+        shift = jnp.mod(i0 + 1, width)
+    else:
+        # out_a[j] = rowA[(i0 - j) mod W] = flipped_row[(j + W-1-i0) mod W]
+        shift = jnp.mod(width - 1 - i0, width)
     return {"dy": dy.astype(jnp.float32), "fy": fy.astype(jnp.float32),
             "y0": y0, "y1": y1, "dy_relevant": dy_relevant,
             "shift": shift, "fx": fx.astype(jnp.float32),
@@ -142,7 +152,8 @@ def _row_block(height: int) -> int:
 def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                   shiftv_ref, fxv_ref, validv_ref,
                   img_ref, park_ref, out_ref, band_ref, vb_ref, *,
-                  height: int, width: int, row_block: int):
+                  height: int, width: int, row_block: int,
+                  tap2_roll: int = 1):
     """Grid: (P,). img_ref: [C, H + 2*_VPAD, W] horizontally flipped,
     vertically wrap-padded source (VMEM); fast: [P, NBLK] SMEM flags;
     y0/y1/fy: [P, H] SMEM scalars (slow path); dyv/fyv/shiftv/fxv/
@@ -210,7 +221,7 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
 
         block = vb_ref[:, :, :]                               # [C, RB, W]
         out_a = _circ_shift_left_rows(block, s_vec[None], width)
-        out_b = pltpu.roll(out_a, 1, axis=2)
+        out_b = pltpu.roll(out_a, tap2_roll, axis=2)
         fxb = fx_vec[None]                                    # [1, RB, 1]
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
         out_rows = jnp.where(valid_vec[None] > 0, out_rows,
@@ -229,23 +240,35 @@ from jax.experimental.pallas import tpu as pltpu      # noqa: E402
 
 @functools.partial(jax.jit,
                    static_argnames=("order", "height", "width",
-                                    "out_dtype", "interpret"))
+                                    "out_dtype", "interpret", "flip_out",
+                                    "raw_layout"))
 def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                            intrinsics: Array, height: int, width: int,
                            out_dtype=jnp.float32,
-                           interpret: bool = False) -> Array:
+                           interpret: bool = False,
+                           flip_out: bool = False,
+                           raw_layout: bool = False) -> Array:
     """One eye's sweep: image [H, W, C] -> [P, H, W, C] (out_dtype;
     bf16 halves the volume's HBM traffic — the kernel computes f32 and
-    converts at the output write)."""
+    converts at the output write).
+
+    flip_out emits the horizontally FLIPPED volume (the fused render's
+    native orientation) at zero extra cost — the flip is just a
+    different lane-shift constant. raw_layout skips the final transpose
+    and returns the kernel-native [P, C, H, W]."""
     p = depths.shape[0]
     c = image.shape[-1]
-    params = _row_params(order, depths, intrinsics, height, width)
+    params = _row_params(order, depths, intrinsics, height, width,
+                         flip_out=flip_out)
     img_cf = jnp.transpose(image, (2, 0, 1))          # [C, H, W]
-    img_flipped = jnp.flip(img_cf, axis=2).astype(jnp.float32)
+    if flip_out:
+        img_base = img_cf.astype(jnp.float32)
+    else:
+        img_base = jnp.flip(img_cf, axis=2).astype(jnp.float32)
     # vertical wrap padding (mod-H tap semantics, band alignment)
-    img_padded = jnp.concatenate([img_flipped[:, -_VPAD:],
-                                  img_flipped,
-                                  img_flipped[:, :_VPAD]], axis=1)
+    img_padded = jnp.concatenate([img_base[:, -_VPAD:],
+                                  img_base,
+                                  img_base[:, :_VPAD]], axis=1)
     # invalid rows park at pixel (1, 1) like the reference; prebroadcast
     park_row = jnp.broadcast_to(image[1, 1, :].reshape(c, 1, 1),
                                 (c, 1, width))
@@ -265,7 +288,8 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
         fast = jnp.zeros_like(fast)
     out = pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
-                          row_block=row_block),
+                          row_block=row_block,
+                          tap2_roll=(width - 1) if flip_out else 1),
         grid=(p,),
         in_specs=[smem(), smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
@@ -293,7 +317,50 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
       params["shift"][..., None], params["fx"][..., None],
       params["valid"][..., None],
       img_padded, park_row.astype(jnp.float32))
+    if raw_layout:
+        return out                                    # [P, C, H, W]
     return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
+
+
+def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
+                                depths: Array, intrinsics: Array,
+                                out_dtype=jnp.float32,
+                                interpret: bool = False):
+    """Both eyes' sweeps, emitted in the fused render's NATIVE layout.
+
+    Returns (net_input [B, H, W, 2*P*C], fgF [B, P, C, H, W],
+    bgF [B, P, C, H, W]) where fgF/bgF are horizontally FLIPPED
+    plane-major volumes (ref eye order=+1, src eye order=-1). The kernel
+    emits the flipped layout directly (a different lane-shift constant —
+    zero cost); the CNN's channel-minor input is then ONE fused XLA
+    flip+transpose away, the same copy the unflipped path already paid.
+    The flipped volumes flow straight into assemble_rgba_prepared /
+    the ladder render without the [H,W,P,4]->[P,4,H,W] layout tax.
+    """
+    b, h, w, c = ref_image.shape
+    p = depths.shape[0]
+    nets, fgs, bgs = [], [], []
+    for i in range(b):
+        fv = _ods_sweep_plane_stack(ref_image[i], 1, depths,
+                                    intrinsics[i], h, w,
+                                    out_dtype=out_dtype,
+                                    interpret=interpret,
+                                    flip_out=True, raw_layout=True)
+        gv = _ods_sweep_plane_stack(src_image[i], -1, depths,
+                                    intrinsics[i], h, w,
+                                    out_dtype=out_dtype,
+                                    interpret=interpret,
+                                    flip_out=True, raw_layout=True)
+
+        def _net_layout(vol):
+            un = jnp.flip(vol, axis=3)                 # [P, C, H, W]
+            return jnp.transpose(un, (2, 3, 0, 1)).reshape(h, w, p * c)
+
+        nets.append(jnp.concatenate([_net_layout(fv), _net_layout(gv)],
+                                    axis=-1))
+        fgs.append(fv)
+        bgs.append(gv)
+    return jnp.stack(nets), jnp.stack(fgs), jnp.stack(bgs)
 
 
 def ods_sweep_identity(image: Array, order: int, depths: Array,

@@ -101,3 +101,34 @@ def test_aligned_shift_bit_exact():
         )(jnp.asarray([s], jnp.int32), row)
         np.testing.assert_array_equal(np.asarray(out),
                                       np.roll(np.asarray(row), -s, axis=2))
+
+
+def test_flipped_dual_output_exact():
+    """The flip_out kernel variant must emit EXACTLY the lane-flip of
+    the standard output (same taps, different shift constant), and the
+    dual helper's net_input must match the concat of the two standard
+    sweeps bit-for-bit."""
+    h, w, p = 32, 128, 4
+    rng = np.random.RandomState(3)
+    ref_img = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    src_img = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, p))
+    intr = jnp.asarray([[0.05, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                       dtype=jnp.float32)[None]
+
+    net, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
+        ref_img, src_img, depths, intr, interpret=True)
+    assert net.shape == (1, h, w, 2 * p * 3)
+    assert fgF.shape == (1, p, 3, h, w)
+
+    net_ref = pallas_sweep.ods_sweep_identity(ref_img, 1, depths, intr,
+                                              interpret=True)
+    net_src = pallas_sweep.ods_sweep_identity(src_img, -1, depths, intr,
+                                              interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(net), np.concatenate([net_ref, net_src], axis=-1))
+
+    # fgF[p, c, i, j] == standard sweep at (i, W-1-j)
+    std = np.asarray(net_ref).reshape(1, h, w, p, 3)
+    flipped = np.transpose(std[0, :, ::-1], (2, 3, 0, 1))
+    np.testing.assert_array_equal(np.asarray(fgF[0]), flipped)

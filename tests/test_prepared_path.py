@@ -1,0 +1,97 @@
+"""Zero-layout-tax inference path (sweep->assemble->render in the render-
+native layout) vs the standard assemble_rgba + gather render.
+
+Exactness expectation: the fused path's net_input is bit-identical to
+the flip+transpose of its own volumes, so feeding THAT net_input into
+the standard assemble isolates pure layout/blend differences — the two
+pipelines must agree to ladder-kernel exactness (~1e-5 f32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matryodshka_tpu.config import MatryConfig
+from matryodshka_tpu.geometry import sweep as sweep_lib
+from matryodshka_tpu.models import msi as msi_lib
+
+H, W, P = 96, 128, 4
+
+
+def _cfg(**kw):
+    base = dict(height=H, width=W, num_psv_planes=P, num_msi_planes=P,
+                batch_size=1, compute_dtype="float32", use_pallas=True)
+    base.update(kw)
+    return MatryConfig(**base).validate()
+
+
+def _batch(rng):
+    eye = jnp.eye(4)[None]
+    intr = np.eye(3, dtype=np.float32)[None].copy()
+    intr[:, 0, 0] = 0.032
+    return {
+        "ref_image": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+        "src_image": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+        "ref_pose": eye, "src_pose": eye, "ref_pose_inv": eye,
+        "intrinsics": jnp.asarray(intr),
+    }
+
+
+def _fake_net(cfg):
+    rng = np.random.RandomState(7)
+    k = cfg.num_net_outputs()
+    m = jnp.asarray(rng.randn(2 * P * 3, k).astype(np.float32) * 0.3)
+
+    def apply_fn(params, x):
+        del params
+        return jnp.tanh(x @ m)
+    return apply_fn
+
+
+@pytest.mark.parametrize("scheme", ["blend_psv", "alpha_only", "blend_bg"])
+def test_prepared_pipeline_matches_standard(scheme):
+    cfg = _cfg(which_color_pred=scheme)
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    apply_fn = _fake_net(cfg)
+
+    outs = msi_lib.infer_msi_prepared(apply_fn, None, cfg, batch, depths,
+                                      interpret=True)
+    assert outs is not None
+    tgt_pos = jnp.asarray([[0.02, 0.01, -0.015]])
+    eye = jnp.eye(4)[None]
+    img = msi_lib.render_equirect_view_from_prepared(
+        outs, eye, tgt_pos, depths, cfg.height, interpret=True)
+
+    # standard path on the SAME net_input (isolates layout differences)
+    std = msi_lib.assemble_rgba(scheme, outs["msi_pred"],
+                                outs["net_input"], P)
+    ref = msi_lib.render_equirect_view(std["rgba_layers"], eye, tgt_pos,
+                                       depths)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_prepared_pipeline_rotation_fallback():
+    cfg = _cfg()
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    apply_fn = _fake_net(cfg)
+    outs = msi_lib.infer_msi_prepared(apply_fn, None, cfg, batch, depths,
+                                      interpret=True)
+    ang = 0.5
+    rot = jnp.asarray([[1, 0, 0, 0],
+                       [0, np.cos(ang), -np.sin(ang), 0],
+                       [0, np.sin(ang), np.cos(ang), 0],
+                       [0, 0, 0, 1]], dtype=jnp.float32)[None]
+    tgt_pos = jnp.asarray([[0.01, 0.0, 0.0]])
+    img = msi_lib.render_equirect_view_from_prepared(
+        outs, rot, tgt_pos, depths, cfg.height, interpret=True)
+    std = msi_lib.assemble_rgba("blend_psv", outs["msi_pred"],
+                                outs["net_input"], P)
+    ref = msi_lib.render_equirect_view(std["rgba_layers"], rot, tgt_pos,
+                                       depths)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=0, atol=2e-5)
