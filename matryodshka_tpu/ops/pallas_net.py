@@ -41,10 +41,19 @@ Design (every choice forced by a Mosaic constraint):
     concatenated tensor ever exists.
   * Layer norm: s1/s2 accumulated from the bf16-ROUNDED outputs as
     they are written (the stats must describe the stored tensor);
-    normalize + relu are fused into every CONSUMER's rhs load, so LN
-    costs one multiply-add per read instead of extra passes.
+    normalize + relu are applied to each consumer's freshly-DMA'd
+    window copy, so overlapping window rows are never normalized
+    twice in place.
   * Vertical pad is zero-pad (nets.py wrap_pad pads H with zeros):
-    row -1 and row H are zero rows kept in each buffer's allocation.
+    every HBM activation buffer carries `rate` zero rows top/bottom,
+    zeroed once at kernel start; window normalization skips them.
+
+Memory model: ALL activations live in HBM scratch; each stage streams
+double-buffered row-band windows through VMEM (in) and row bands out
+(the uniform-banding model — VMEM holds only weights + windows, so the
+same kernel runs 640x320 production shapes and tiny test shapes). The
+MXU work (~293 GFLOP at 640x320) dwarfs the ~350 MB of HBM activation
+traffic, so the DMAs hide behind the GEMMs.
 
 The kernel is inference-only (training keeps the XLA path; the jitted
 XLA net is also the fallback wherever shapes/backends don't fit).
@@ -53,7 +62,7 @@ XLA net is also the fallback wherever shapes/backends don't fit).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +75,6 @@ Array = jax.Array
 
 # ---------------------------------------------------------------------------
 # Layer plan: the wrap-variant U-Net topology (nets.py:403-450), ngf=64.
-# Each entry: (name, kind, cin(s), cout, scale) where scale is the
-# output resolution divisor relative to full res.
 # ---------------------------------------------------------------------------
 
 
@@ -101,52 +108,21 @@ def unet_plan(ngf: int, cin0: int, num_outputs: int):
 
 # ---------------------------------------------------------------------------
 # Weight preparation (XLA side, tiny): flax param tree -> kernel operands.
-#
-# For a conv layer the kernel wants, per dx in {-1, 0, 1}, the lhs
-# L_dx [cout, 3*cin] with K ordered (dy, c) so that the rhs
-# rows[r-1:r+2].reshape(3C, W) lines up. For deconvs (2x2 subpixel
-# decomposition) it wants L_{da,db}[4] each [cout4=4f slots...] — we
-# emit [4f, cin] per 2x2 tap instead: out4 = sum_taps T_tap @ x_tap.
 # ---------------------------------------------------------------------------
 
 
-def _conv_lhs(kernel: np.ndarray | Array, dtype):
+def _conv_lhs(kernel, dtype):
     """kernel [3, 3, cin, cout] -> three [cout, 3*cin] dx-grouped lhs.
 
-    L_dx[o, dy * cin + c] = kernel[dy, dx + 1, c, o].
+    L_dx[o, dy * cin + c] = kernel[dy, dx, c, o].
     """
     k = jnp.asarray(kernel)
-    # [3dy, 3dx, cin, cout] -> dx list of [cout, 3dy*cin]
     out = []
     for dx in range(3):
         sub = k[:, dx]                           # [3, cin, cout]
         sub = jnp.transpose(sub, (2, 0, 1))      # [cout, 3, cin]
         out.append(sub.reshape(sub.shape[0], -1).astype(dtype))
     return out
-
-
-def _deconv_lhs(kernel: np.ndarray | Array, dtype):
-    """kernel [4, 4, cin, cout] (ConvTranspose layout) -> per 2x2 tap
-    (ka, kb) the lhs [4*cout, cin] stacking the four output parities.
-
-    Subpixel identity (models/unet.py:124-131): parity (da, db) of the
-    output at (2r+da, 2c+db) is a dense conv with kernel[da::2, db::2]
-    evaluated with taps offset (1+da, 1+db) on the wrap(2,2)-padded
-    input; on the unpadded input grid the 2x2 tap (ka, kb) reads input
-    row r + ka - ... — worked out in `deconv_rows` below.
-    """
-    k = jnp.asarray(kernel)
-    cout = k.shape[-1]
-    taps = {}
-    for ka in range(2):
-        for kb in range(2):
-            parts = []
-            for da in range(2):
-                for db in range(2):
-                    sub = k[da::2, db::2]        # [2, 2, cin, cout]
-                    parts.append(jnp.transpose(sub[ka, kb], (1, 0)))
-            taps[(ka, kb)] = jnp.concatenate(parts, axis=0).astype(dtype)
-    return taps, cout
 
 
 def _even_select(w: int, dtype):
@@ -169,8 +145,8 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
 
     Per layer: conv/down -> [L0, L1, L2 ([cout, 3cin] dx-grouped), bias,
     gamma, beta]; deconv -> per source s, per (da, db, kb) the lhs
-    [cout, 2*cin_s] (ka merged into K), then bias, gamma, beta; head ->
-    [L [cout, cin], bias]. Biases/ln params stay f32.
+    [cout, 2*cin_s] (ka merged into K, subpixel identity of
+    models/unet.py:124-131), then bias, gamma, beta; head -> [L, bias].
     """
     p = flax_params["params"] if "params" in flax_params else flax_params
     ops: List[Array] = []
@@ -181,7 +157,6 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
         if kind in ("conv", "down"):
             ops += _conv_lhs(k, dtype)
         elif kind == "deconv":
-            # k: [4, 4, cin_total, cout]; split K by source
             off = 0
             for cs in cins:
                 ks = k[:, :, off:off + cs]
@@ -189,8 +164,7 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
                 for da in range(2):
                     for db in range(2):
                         for kb in range(2):
-                            # L[(da,db,kb)][o, ka*cs + c] =
-                            #   k[da + 2*ka, db + 2*kb, c, o]
+                            # L[o, ka*cs + c] = k[da+2ka, db+2kb, c, o]
                             sub = jnp.stack(
                                 [jnp.transpose(ks[da + 2 * ka, db + 2 * kb],
                                                (1, 0)) for ka in range(2)],
@@ -209,246 +183,483 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
     return ops
 
 
+def static_operands(w: int, dtype=jnp.bfloat16) -> List[Array]:
+    """One-hot stride-select / interleave-expand constants (appended
+    after the params in the operand list)."""
+    out = [_even_select(ww, dtype) for ww in (w, w // 2, w // 4)]
+    for wh in (w // 8, w // 4, w // 2):
+        out.append(_interleave_expand(wh, 0, dtype))
+        out.append(_interleave_expand(wh, 1, dtype))
+    return out
+
+
 # ---------------------------------------------------------------------------
-# The kernel builder.
+# The kernel builder (uniform streaming model).
 # ---------------------------------------------------------------------------
 
 _EPS = 1e-12
 
 
+def _row_band(rows: int) -> int:
+    """Output rows per band: 16 divides every production row count
+    (320/160/80/40); tiny test shapes band by whatever divides."""
+    for rb in (16, 8, 4, 2, 1):
+        if rows % rb == 0:
+            return rb
+    return 1
+
+
 def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                   dtype):
-    """Returns (kernel_fn, scratch_shapes, n_operands). One grid step;
-    all activations live in scratch buffers [rows + 2*pad, C, W]."""
+    """Returns (kernel_fn, scratch_shapes, total_ops, vmem_bytes)."""
     plan = unet_plan(ngf, cin0, num_outputs)
+    by_name = {e[0]: e for e in plan}
+    layer_idx = {e[0]: i for i, e in enumerate(plan)}
 
-    # buffer pool: reuse buffers of identical shape when lifetimes allow
-    # (see module docstring). name -> (buf_index, pad, rows, c, w)
-    pools = {
-        "x": (0, 1, h, cin0, w),
-        "conv1_1": (1, 1, h, ngf, w),
-        "conv1_2": (2, 1, h // 2, 2 * ngf, w // 2),
-        "conv2_1": (3, 1, h // 2, 2 * ngf, w // 2),
-        "conv2_2": (4, 1, h // 4, 4 * ngf, w // 4),
-        "conv3_1": (5, 1, h // 4, 4 * ngf, w // 4),
-        "conv3_2": (6, 1, h // 4, 4 * ngf, w // 4),
-        "conv3_3": (7, 2, h // 8, 8 * ngf, w // 8),
-        "conv4_1": (8, 2, h // 8, 8 * ngf, w // 8),
-        "conv4_2": (9, 2, h // 8, 8 * ngf, w // 8),
-        "conv4_3": (8, 2, h // 8, 8 * ngf, w // 8),   # reuse conv4_1
-        "conv6_1": (10, 1, h // 4, 4 * ngf, w // 4),
-        "conv6_2": (5, 1, h // 4, 4 * ngf, w // 4),   # reuse conv3_1
-        "conv6_3": (6, 1, h // 4, 4 * ngf, w // 4),   # reuse conv3_2
-        "conv7_1": (11, 1, h // 2, 2 * ngf, w // 2),
-        "conv7_2": (3, 1, h // 2, 2 * ngf, w // 2),   # reuse conv2_1
-        "conv8_1": (1, 1, h, ngf, w),                 # reuse conv1_1
-        "conv8_2": (12, 1, h, ngf, w),
-    }
-    n_bufs = 13
-    buf_shapes: List = [None] * n_bufs
-    for name, (bi, pad, rows, c, ww) in pools.items():
-        shp = (rows + 2 * pad, c, ww)
-        if buf_shapes[bi] is None:
-            buf_shapes[bi] = shp
-        else:
-            assert buf_shapes[bi] == shp, (name, shp, buf_shapes[bi])
-    scratch = [pltpu.VMEM(s, dtype) for s in buf_shapes]
-    scratch.append(pltpu.SMEM((len(plan), 2), jnp.float32))  # LN stats
-
-    # operand count per layer kind
-    def n_ops(kind, nsrc):
+    # HBM activation buffers: [rows + 2*pad, C, W] bf16. pad = max rate
+    # of any consumer (conv4_x are rate 2).
+    bufs_meta = {"x": (1, h, cin0, w)}
+    for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
         if kind == "head":
-            return 2
-        if kind == "deconv":
-            return nsrc * 8 + 3
-        return 6
+            continue
+        pad = 2 if name in ("conv3_3", "conv4_1", "conv4_2") else 1
+        bufs_meta[name] = (pad, h // outd, cout, w // outd)
+    buf_names = list(bufs_meta.keys())
+    buf_pos = {n: i for i, n in enumerate(buf_names)}
+
+    def phys_lanes(ww):
+        return max(128, 128 * -(- ww // 128))
+
+    hbm_scratch = []
+    for n in buf_names[1:]:                       # x is an operand
+        pad, rows, c, ww = bufs_meta[n]
+        hbm_scratch.append(
+            pltpu.HBM((rows + 2 * pad, c, ww), dtype))
+
+    # Per-stage VMEM window/band scratch. Window = input rows needed for
+    # one band of output rows (+1 spare slot for double buffering when
+    # the stage has >1 band). Out band = one band of output rows.
+    vmem_scratch = []
+    sems = 0
+    stage_scr = []   # per stage: dict of scratch indices
+
+    def add_vmem(shape, dt):
+        vmem_scratch.append(pltpu.VMEM(shape, dt))
+        return len(vmem_scratch) - 1
+
+    nonlocal_sem = [0]
+
+    def add_sems(n):
+        i = nonlocal_sem[0]
+        nonlocal_sem[0] += n
+        return i
+
+    for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
+        rows_out = h // outd
+        ww_out = w // outd
+        rb = _row_band(rows_out)
+        nb = rows_out // rb
+        scr = {"rb": rb, "nb": nb, "wins": [], "win_sems": []}
+        stride = 2 if kind == "down" else 1
+        for s, cs in zip(srcs, cins):
+            sww = bufs_meta[s][3]
+            if kind == "deconv":
+                win_rows = rb // 2 + 2
+            else:
+                win_rows = stride * rb + 2 * rate
+            nslots = 2 if nb > 1 else 1
+            scr["wins"].append(
+                (add_vmem((nslots, win_rows, cs, sww), dtype),
+                 win_rows, nslots))
+            scr["win_sems"].append(add_sems(nslots))
+        if kind == "head":
+            scr["oband"] = add_vmem((2 if nb > 1 else 1, rb, cout,
+                                     ww_out), jnp.float32)
+        else:
+            scr["oband"] = add_vmem((2 if nb > 1 else 1, rb, cout,
+                                     ww_out), dtype)
+        scr["oslots"] = 2 if nb > 1 else 1
+        scr["ob_sems"] = add_sems(scr["oslots"])
+        stage_scr.append(scr)
+
+    zeros_idx = add_vmem((2, max(c for (_, _, c, _) in
+                                 bufs_meta.values()),
+                          max(ww for (_, _, _, ww) in
+                              bufs_meta.values())), dtype)
+    zero_sems = add_sems(2 * len(buf_names))
+    n_sems = nonlocal_sem[0]
+
+    # operand layout
+    def n_ops(kind, nsrc):
+        return {"head": 2, "deconv": nsrc * 8 + 3}.get(kind, 6)
 
     total_params = 1 + sum(n_ops(k, len(s)) for (_, k, s, *_r) in plan)
-    # static one-hot operands: even-select at each down layer's input
-    # width, interleave-expanders at each deconv's half output width
     sel_widths = [w, w // 2, w // 4]
     exp_widths = [w // 8, w // 4, w // 2]
     total_ops = total_params + len(sel_widths) + 2 * len(exp_widths)
 
-    def selector(ops, ww):
-        return ops[total_params + sel_widths.index(ww)]
-
-    def expander(ops, wh):
-        i = total_params + len(sel_widths) + 2 * exp_widths.index(wh)
-        return ops[i], ops[i + 1]
+    vmem_bytes = sum(int(np.prod(sp.shape))
+                     * np.dtype(sp.dtype).itemsize
+                     for sp in vmem_scratch)
 
     def kernel(*refs):
         ops = list(refs[:total_ops])
         out_ref = refs[total_ops]
-        bufs = list(refs[total_ops + 1: total_ops + 1 + n_bufs])
-        stats = refs[total_ops + 1 + n_bufs]
+        hbufs = {n: refs[total_ops + 1 + i]
+                 for i, n in enumerate(buf_names[1:])}
+        hbufs["x"] = ops[0]
+        base = total_ops + 1 + len(buf_names) - 1
+        vrefs = list(refs[base:base + len(vmem_scratch)])
+        stats = refs[base + len(vmem_scratch)]
+        sem = refs[base + len(vmem_scratch) + 1]
 
-        x_in = ops[0]
-        oi = 1
+        def selector(ww):
+            return ops[total_params + sel_widths.index(ww)]
 
-        def buf_of(name):
-            bi, pad, rows, c, ww = pools[name]
-            return bufs[bi], pad, rows, c, ww
+        def expander(wh):
+            i = total_params + len(sel_widths) + 2 * exp_widths.index(wh)
+            return ops[i], ops[i + 1]
 
-        # stage 0: copy the input into the padded x buffer (zero pad
-        # rows). Replaced by banded HBM DMA in the streaming variant.
-        xb, xpad, xrows, xc, xw = buf_of("x")
-        xb[0, :, :] = jnp.zeros((xc, xw), dtype)
-        xb[xrows + 1, :, :] = jnp.zeros((xc, xw), dtype)
+        # ---- zero the HBM pad rows (once) -------------------------------
+        zarena = vrefs[zeros_idx]
+        zarena[:, :, :] = jnp.zeros(zarena.shape, dtype)
+        zi = 0
+        zero_dmas = []
+        for n in buf_names[1:]:
+            pad, rows, c, ww = bufs_meta[n]
+            for top in (True, False):
+                dst = (hbufs[n].at[0:pad] if top
+                       else hbufs[n].at[rows + pad:rows + 2 * pad])
+                d = pltpu.make_async_copy(
+                    zarena.at[0:pad, 0:c, 0:ww], dst,
+                    sem.at[zero_sems + zi])
+                d.start()
+                zero_dmas.append(d)
+                zi += 1
+        for d in zero_dmas:
+            d.wait()
 
-        def cp(r, _):
-            xb[r + 1, :, :] = x_in[r, :, :]
-            return 0
-        jax.lax.fori_loop(0, xrows, cp, 0)
+        oi = [1]
 
-        def zero_pads(name):
-            b, pad, rows, c, ww = buf_of(name)
-            for i in range(pad):
-                b[i, :, :] = jnp.zeros((c, ww), dtype)
-                b[pad + rows + i, :, :] = jnp.zeros((c, ww), dtype)
+        def take(n):
+            r = ops[oi[0]:oi[0] + n]
+            oi[0] += n
+            return r
 
-        def normalize(li, name, cout):
-            """In-place LN + relu over the real rows of `name`."""
-            b, pad, rows, c, ww = buf_of(name)
+        ln_params = {}
+
+        def norm_vectors(src_name):
+            """(a_vec, b_vec) [C, 1] for fused LN+relu of src's rows."""
+            if src_name == "x":
+                return None
+            li = layer_idx[src_name]
+            gamma, beta = ln_params[li]
+            rows, c, ww = bufs_meta[src_name][1:]
             n = float(rows * c * ww)
-            s1 = stats[li, 0]
-            s2 = stats[li, 1]
-            mean = s1 / n
-            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            mean = stats[li, 0] / n
+            var = jnp.maximum(stats[li, 1] / n - mean * mean, 0.0)
             inv = jax.lax.rsqrt(var + _EPS)
-            _, _, gamma, beta = lp_cache[li]
-            a_vec = gamma[:, :] * inv                  # [C, 1]
+            a_vec = gamma[:, :] * inv
             b_vec = beta[:, :] - mean * a_vec
+            return a_vec, b_vec
 
-            def body(r, _):
-                row = b[r + pad, :, :].astype(jnp.float32)
-                y = jnp.maximum(row * a_vec + b_vec, 0.0)
-                b[r + pad, :, :] = y.astype(dtype)
-                return 0
-            jax.lax.fori_loop(0, rows, body, 0)
+        def stage(si, name, kind, srcs, cins, cout, outd, rate,
+                  row_fn):
+            """Shared band loop: windows in, rows computed, band out.
 
-        def acc_stats(li, row_bf16):
-            r32 = row_bf16.astype(jnp.float32)
-            stats[li, 0] = stats[li, 0] + jnp.sum(r32)
-            stats[li, 1] = stats[li, 1] + jnp.sum(r32 * r32)
+            row_fn(rl, wins, oband, oslot) computes output row(s) rl of
+            the current band from the window refs (local coordinates)
+            and writes into oband[oslot]."""
+            scr = stage_scr[si]
+            rb, nb = scr["rb"], scr["nb"]
+            stride = 2 if kind == "down" else 1
+            dst = None if kind == "head" else hbufs[name]
+            dpad = 0 if kind == "head" else bufs_meta[name][0]
+            rows_out = (h if kind == "head" else bufs_meta[name][1])
+            norms = [norm_vectors(s) for s in srcs]
 
-        lp_cache = {}
+            def on_win(wi, b, slot, action):
+                """Start or wait the window DMA for band b — the same
+                descriptor set in both phases (byte counts must match).
+                """
+                vref_i, win_rows, nslots = scr["wins"][wi]
+                vref = vrefs[vref_i]
+                src_name = srcs[wi]
+                sbuf = hbufs[src_name]
+                semr = sem.at[scr["win_sems"][wi] + slot]
+                if src_name == "x":
+                    # The operand has no pad rows: edge bands copy one
+                    # row fewer and memset the missing edge row.
+                    # (rate == 1 for conv1_1.)
+                    if nb == 1:
+                        if action == "start":
+                            vref[slot, 0, :, :] = jnp.zeros(
+                                vref.shape[2:], dtype)
+                            vref[slot, win_rows - 1, :, :] = jnp.zeros(
+                                vref.shape[2:], dtype)
+                        getattr(pltpu.make_async_copy(
+                            sbuf.at[pl.ds(0, win_rows - 2)],
+                            vref.at[slot, pl.ds(1, win_rows - 2)],
+                            semr), action)()
+                        return
 
-        for li, (name, kind, srcs, cins, cout, ind, outd, rate) in \
-                enumerate(plan):
-            stats[li, 0] = 0.0
-            stats[li, 1] = 0.0
-            if kind in ("conv", "down"):
-                L0, L1, L2, bias, gamma, beta = ops[oi:oi + 6]
-                oi += 6
-                lp_cache[li] = (None, bias, gamma, beta)
-                src, spad, srows, sc, sw = buf_of(srcs[0])
-                dst, dpad, drows, dc, dw = buf_of(name)
-                zero_pads(name)
-                stride = 2 if kind == "down" else 1
-                sel = selector(ops, sw) if kind == "down" else None
+                    @pl.when(b == 0)
+                    def _():
+                        if action == "start":
+                            vref[slot, 0, :, :] = jnp.zeros(
+                                vref.shape[2:], dtype)
+                        getattr(pltpu.make_async_copy(
+                            sbuf.at[pl.ds(0, win_rows - 1)],
+                            vref.at[slot, pl.ds(1, win_rows - 1)],
+                            semr), action)()
 
-                def conv_row(r, _, src=src, spad=spad, dst=dst,
-                             dpad=dpad, L0=L0, L1=L1, L2=L2, bias=bias,
-                             stride=stride, rate=rate, sel=sel, sc=sc,
-                             sw=sw, li=li, cout=cout):
-                    base = stride * r + spad - rate
-                    if rate == 1:
-                        rhs = src[pl.ds(base, 3), :, :].reshape(3 * sc, sw)
-                        y0 = jnp.dot(L0[:, :], rhs,
-                                     preferred_element_type=jnp.float32)
-                        y1 = jnp.dot(L1[:, :], rhs,
-                                     preferred_element_type=jnp.float32)
-                        y2 = jnp.dot(L2[:, :], rhs,
-                                     preferred_element_type=jnp.float32)
-                    else:
-                        # dilated: rows base, base+rate, base+2*rate are
-                        # not contiguous; per-dy dots (K = C)
-                        y0 = y1 = y2 = jnp.zeros((cout, sw), jnp.float32)
-                        for dy in range(3):
-                            rr = src[base + dy * rate, :, :]
-                            y0 += jnp.dot(L0[:, dy * sc:(dy + 1) * sc], rr,
-                                          preferred_element_type=jnp.float32)
-                            y1 += jnp.dot(L1[:, dy * sc:(dy + 1) * sc], rr,
-                                          preferred_element_type=jnp.float32)
-                            y2 += jnp.dot(L2[:, dy * sc:(dy + 1) * sc], rr,
-                                          preferred_element_type=jnp.float32)
-                    dense = (pltpu.roll(y0, rate, axis=1) + y1
-                             + pltpu.roll(y2, sw - rate, axis=1)
-                             + bias[:, :])
-                    if sel is not None:
-                        dense = jnp.dot(dense.astype(dtype), sel[:, :],
-                                        preferred_element_type=jnp.float32)
-                    rowq = dense.astype(dtype)
-                    dst[r + dpad, :, :] = rowq
-                    acc_stats(li, rowq)
+                    @pl.when(b == nb - 1)
+                    def _():
+                        if action == "start":
+                            vref[slot, win_rows - 1, :, :] = jnp.zeros(
+                                vref.shape[2:], dtype)
+                        getattr(pltpu.make_async_copy(
+                            sbuf.at[pl.ds(b * rb - 1, win_rows - 1)],
+                            vref.at[slot, pl.ds(0, win_rows - 1)],
+                            semr), action)()
+
+                    if nb > 2:
+                        @pl.when((b > 0) & (b < nb - 1))
+                        def _():
+                            getattr(pltpu.make_async_copy(
+                                sbuf.at[pl.ds(b * rb - 1, win_rows)],
+                                vref.at[slot], semr), action)()
+                    return
+                spad = bufs_meta[src_name][0]
+                if kind == "deconv":
+                    g0 = b * (rb // 2) - 1 + spad
+                else:
+                    g0 = stride * b * rb - rate + spad
+                getattr(pltpu.make_async_copy(
+                    sbuf.at[pl.ds(g0, win_rows)], vref.at[slot], semr),
+                    action)()
+
+            def normalize_win(wi, b, slot):
+                av = norms[wi]
+                if av is None:
+                    return
+                a_vec, b_vec = av
+                vref_i, win_rows, _ = scr["wins"][wi]
+                vref = vrefs[vref_i]
+                src_name = srcs[wi]
+                spad = bufs_meta[src_name][0]
+                srows = bufs_meta[src_name][1]
+                if kind == "deconv":
+                    g0 = b * (rb // 2) - 1 + spad
+                else:
+                    g0 = stride * b * rb - rate + spad
+                # window rows holding real (non-pad) source rows:
+                # global [spad, spad + srows)
+                lo = jnp.maximum(0, spad - g0)
+                hi = jnp.minimum(win_rows, spad + srows - g0)
+
+                def body(rl, _):
+                    row = vref[slot, rl, :, :].astype(jnp.float32)
+                    y = jnp.maximum(row * a_vec + b_vec, 0.0)
+                    vref[slot, rl, :, :] = y.astype(dtype)
                     return 0
+                jax.lax.fori_loop(lo, hi, body, 0)
 
-                jax.lax.fori_loop(0, drows, conv_row, 0)
-                normalize(li, name, cout)
+            ob_i = scr["oband"]
+            oslots = scr["oslots"]
+
+            def flush(b, oslot):
+                ob = vrefs[ob_i]
+                if kind == "head":
+                    pltpu.make_async_copy(
+                        ob.at[oslot], out_ref.at[pl.ds(b * rb, rb)],
+                        sem.at[scr["ob_sems"] + oslot]).start()
+                else:
+                    pltpu.make_async_copy(
+                        ob.at[oslot],
+                        dst.at[pl.ds(dpad + b * rb, rb)],
+                        sem.at[scr["ob_sems"] + oslot]).start()
+
+            def wait_flush(oslot):
+                ob = vrefs[ob_i]
+                pltpu.make_async_copy(
+                    ob.at[oslot], ob.at[oslot],
+                    sem.at[scr["ob_sems"] + oslot]).wait()
+
+            for wi in range(len(srcs)):
+                on_win(wi, 0, 0, "start")
+
+            def band(b, _):
+                slot = jax.lax.rem(b, 2) if nb > 1 else 0
+                oslot = slot if oslots > 1 else 0
+                for wi in range(len(srcs)):
+                    if nb > 1:
+                        @pl.when(b + 1 < nb)
+                        def _(wi=wi):
+                            on_win(wi, b + 1, 1 - slot, "start")
+                    on_win(wi, b, slot, "wait")
+                    normalize_win(wi, b, slot)
+                @pl.when(b >= oslots)
+                def _():
+                    wait_flush(oslot)
+                row_fn(b, slot, oslot)
+                flush(b, oslot)
+                return 0
+
+            jax.lax.fori_loop(0, nb, band, 0)
+            for s in range(oslots):
+                wait_flush(s)
+
+        for si, (name, kind, srcs, cins, cout, ind, outd, rate) in \
+                enumerate(plan):
+            scr = stage_scr[si]
+            rb = scr["rb"]
+            stats[si, 0] = 0.0
+            stats[si, 1] = 0.0
+
+            if kind in ("conv", "down"):
+                L0, L1, L2, bias, gamma, beta = take(6)
+                ln_params[si] = (gamma, beta)
+                stride = 2 if kind == "down" else 1
+                sc = cins[0]
+                sw = bufs_meta[srcs[0]][3]
+                sel = selector(sw) if kind == "down" else None
+                vref_i = scr["wins"][0][0]
+
+                def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0, L1=L1,
+                           L2=L2, bias=bias, stride=stride, rate=rate,
+                           sel=sel, sc=sc, sw=sw, si=si, cout=cout,
+                           rb=rb, ob_i=scr["oband"]):
+                    win = vrefs[vref_i]
+                    ob = vrefs[ob_i]
+
+                    def one(rl, _):
+                        base = stride * rl
+                        if rate == 1:
+                            rhs = win[slot, pl.ds(base, 3),
+                                      :, :].reshape(3 * sc, sw)
+                            y0 = jnp.dot(L0[:, :], rhs,
+                                         preferred_element_type=jnp.float32)
+                            y1 = jnp.dot(L1[:, :], rhs,
+                                         preferred_element_type=jnp.float32)
+                            y2 = jnp.dot(L2[:, :], rhs,
+                                         preferred_element_type=jnp.float32)
+                        else:
+                            y0 = y1 = y2 = jnp.zeros((cout, sw),
+                                                     jnp.float32)
+                            for dy in range(3):
+                                rr = win[slot, base + dy * rate, :, :]
+                                y0 += jnp.dot(
+                                    L0[:, dy * sc:(dy + 1) * sc], rr,
+                                    preferred_element_type=jnp.float32)
+                                y1 += jnp.dot(
+                                    L1[:, dy * sc:(dy + 1) * sc], rr,
+                                    preferred_element_type=jnp.float32)
+                                y2 += jnp.dot(
+                                    L2[:, dy * sc:(dy + 1) * sc], rr,
+                                    preferred_element_type=jnp.float32)
+                        dense = (pltpu.roll(y0, rate, axis=1) + y1
+                                 + pltpu.roll(y2, sw - rate, axis=1)
+                                 + bias[:, :])
+                        if sel is not None:
+                            dense = jnp.dot(
+                                dense.astype(dtype), sel[:, :],
+                                preferred_element_type=jnp.float32)
+                        rowq = dense.astype(dtype)
+                        ob[oslot, rl, :, :] = rowq
+                        r32 = rowq.astype(jnp.float32)
+                        stats[si, 0] = stats[si, 0] + jnp.sum(r32)
+                        stats[si, 1] = stats[si, 1] + jnp.sum(r32 * r32)
+                        return 0
+
+                    jax.lax.fori_loop(0, rb, one, 0)
+
+                stage(si, name, kind, srcs, cins, cout, outd, rate,
+                      row_fn)
 
             elif kind == "deconv":
                 nsrc = len(srcs)
-                Ls = ops[oi:oi + nsrc * 8]
-                bias, gamma, beta = ops[oi + nsrc * 8: oi + nsrc * 8 + 3]
-                oi += nsrc * 8 + 3
-                lp_cache[li] = (None, bias, gamma, beta)
-                dst, dpad, drows, dc, dw = buf_of(name)
-                zero_pads(name)
-                e0, e1 = expander(ops, dw // 2)
-                src_info = [buf_of(s) for s in srcs]
+                Ls = take(nsrc * 8)
+                bias, gamma, beta = take(3)
+                ln_params[si] = (gamma, beta)
+                dw = bufs_meta[name][3]
+                e0, e1 = expander(dw // 2)
+                src_dims = [(cins[i], bufs_meta[srcs[i]][3])
+                            for i in range(nsrc)]
 
-                def dec_row(i, _, Ls=Ls, bias=bias, dst=dst, dpad=dpad,
-                            src_info=src_info, e0=e0, e1=e1, li=li,
-                            cout=cout, dw=dw):
-                    # output rows 2i (da=0) and 2i+1 (da=1)
-                    for da in range(2):
-                        parts = []
-                        for db in range(2):
-                            acc = None
-                            for si, (sb, sp, srows_s, sc_s, sw_s) in \
-                                    enumerate(src_info):
-                                rhs = sb[pl.ds(i + da - 1 + sp, 2),
-                                         :, :].reshape(2 * sc_s, sw_s)
-                                for kb in range(2):
-                                    Lk = Ls[si * 8 + da * 4 + db * 2 + kb]
-                                    yk = jnp.dot(
-                                        Lk[:, :], rhs,
-                                        preferred_element_type=jnp.float32)
-                                    sh = db + kb - 1
-                                    if sh == 1:
-                                        yk = pltpu.roll(yk, sw_s - 1,
-                                                        axis=1)
-                                    elif sh == -1:
-                                        yk = pltpu.roll(yk, 1, axis=1)
-                                    acc = yk if acc is None else acc + yk
-                            parts.append(acc + bias[:, :])
-                        row = (jnp.dot(parts[0].astype(dtype), e0[:, :],
-                                       preferred_element_type=jnp.float32)
-                               + jnp.dot(parts[1].astype(dtype), e1[:, :],
-                                         preferred_element_type=jnp.float32))
-                        rowq = row.astype(dtype)
-                        dst[2 * i + da + dpad, :, :] = rowq
-                        acc_stats(li, rowq)
-                    return 0
+                def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
+                           e1=e1, si=si, cout=cout, rb=rb,
+                           src_dims=src_dims, scr=scr,
+                           ob_i=scr["oband"]):
+                    ob = vrefs[ob_i]
 
-                jax.lax.fori_loop(0, drows // 2, dec_row, 0)
-                normalize(li, name, cout)
+                    def one(il, _):
+                        for da in range(2):
+                            parts = []
+                            for db in range(2):
+                                acc = None
+                                for wi, (cs, sws) in enumerate(src_dims):
+                                    win = vrefs[scr["wins"][wi][0]]
+                                    rhs = win[slot, pl.ds(il + da, 2),
+                                              :, :].reshape(2 * cs, sws)
+                                    for kb in range(2):
+                                        Lk = Ls[wi * 8 + da * 4
+                                                + db * 2 + kb]
+                                        yk = jnp.dot(
+                                            Lk[:, :], rhs,
+                                            preferred_element_type=jnp.float32)
+                                        sh = db + kb - 1
+                                        if sh == 1:
+                                            yk = pltpu.roll(yk, sws - 1,
+                                                            axis=1)
+                                        elif sh == -1:
+                                            yk = pltpu.roll(yk, 1, axis=1)
+                                        acc = (yk if acc is None
+                                               else acc + yk)
+                                parts.append(acc + bias[:, :])
+                            row = (jnp.dot(
+                                parts[0].astype(dtype), e0[:, :],
+                                preferred_element_type=jnp.float32)
+                                + jnp.dot(
+                                parts[1].astype(dtype), e1[:, :],
+                                preferred_element_type=jnp.float32))
+                            rowq = row.astype(dtype)
+                            ob[oslot, 2 * il + da, :, :] = rowq
+                            r32 = rowq.astype(jnp.float32)
+                            stats[si, 0] = stats[si, 0] + jnp.sum(r32)
+                            stats[si, 1] = (stats[si, 1]
+                                            + jnp.sum(r32 * r32))
+                        return 0
+
+                    jax.lax.fori_loop(0, rb // 2, one, 0)
+
+                stage(si, name, kind, srcs, cins, cout, outd, rate,
+                      row_fn)
 
             elif kind == "head":
-                L, bias = ops[oi:oi + 2]
-                oi += 2
-                src, spad, srows, sc, sw = buf_of(srcs[0])
+                L, bias = take(2)
 
-                def head_row(r, _, L=L, bias=bias, src=src, spad=spad):
-                    y = jnp.dot(L[:, :], src[r + spad, :, :],
-                                preferred_element_type=jnp.float32)
-                    out_ref[r, :, :] = jnp.tanh(y + bias[:, :])
-                    return 0
+                def row_fn(b, slot, oslot, L=L, bias=bias,
+                           vref_i=scr["wins"][0][0], rb=rb,
+                           ob_i=scr["oband"]):
+                    win = vrefs[vref_i]
+                    ob = vrefs[ob_i]
 
-                jax.lax.fori_loop(0, srows, head_row, 0)
+                    def one(rl, _):
+                        y = jnp.dot(L[:, :], win[slot, rl + 1, :, :],
+                                    preferred_element_type=jnp.float32)
+                        ob[oslot, rl, :, :] = jnp.tanh(y + bias[:, :])
+                        return 0
 
-    return kernel, scratch, total_ops
+                    jax.lax.fori_loop(0, rb, one, 0)
+
+                stage(si, name, kind, srcs, cins, cout, outd, rate,
+                      row_fn)
+
+    scratch = (hbm_scratch + vmem_scratch
+               + [pltpu.SMEM((len(plan), 2), jnp.float32),
+                  pltpu.SemaphoreType.DMA((n_sems,))])
+    return kernel, scratch, total_ops, vmem_bytes
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -456,28 +667,21 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 def _forward(operands, h: int, w: int, ngf: int, cin0: int,
              num_outputs: int, interpret: bool = False) -> Array:
     dtype = operands[0].dtype
-    kernel, scratch, total_ops = _build_kernel(h, w, ngf, cin0,
-                                               num_outputs, dtype)
+    kernel, scratch, total_ops, _ = _build_kernel(
+        h, w, ngf, cin0, num_outputs, dtype)
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                * (total_ops - 1))
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * total_ops,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((h, num_outputs, w), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-
-
-def static_operands(w: int, dtype=jnp.bfloat16) -> List[Array]:
-    """The one-hot stride-select / interleave-expand constants (appended
-    after the params in the operand list; see _build_kernel)."""
-    out = [_even_select(ww, dtype) for ww in (w, w // 2, w // 4)]
-    for wh in (w // 8, w // 4, w // 2):
-        out.append(_interleave_expand(wh, 0, dtype))
-        out.append(_interleave_expand(wh, 1, dtype))
-    return out
 
 
 def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
@@ -490,4 +694,3 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
            + static_operands(w, x_row_major.dtype))
     return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=c0,
                     num_outputs=num_outputs, interpret=interpret)
-
