@@ -47,9 +47,12 @@ def main():
     msi_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
 
+    fused_net = msi_lib.fused_net_ops(model, state.params, cfg)
+
     def _e2e_prepared(params, batch):
         outs = msi_lib.infer_msi_prepared(lambda p, x: model.apply(p, x),
-                                          params, cfg, batch, psv_depths)
+                                          params, cfg, batch, psv_depths,
+                                          fused_net=fused_net)
         if outs is None:
             return None
         b = outs["prepared"].shape[0]
@@ -121,6 +124,21 @@ def main():
         cap_pad = render_geo._cap_band_pad(cfg.height, cfg.width,
                                            pallas_render.CAP_ROWS)
 
+        if fused_net is not None:
+            from matryodshka_tpu.ops import pallas_net
+
+            @jax.jit
+            def net_fused(fgF, bgF):
+                def _rm(v):
+                    p_, c_, h_, w_ = v.shape
+                    u = jnp.flip(v, axis=3).reshape(p_ * c_, h_, w_)
+                    return jnp.transpose(u, (1, 0, 2))
+                x_rm = jnp.concatenate([_rm(fgF[0]), _rm(bgF[0])],
+                                       axis=1)
+                net_ops, ngf, k = fused_net
+                return pallas_net.unet_forward(
+                    x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k)
+
         @jax.jit
         def assemble_render(msi_pred, fgF, bgF, tgt_pose):
             per = [msi_lib.assemble_rgba_prepared(
@@ -179,8 +197,12 @@ def main():
         ms_sweep_p = timeit(sweep_prepared, batch, iters=20)
         ms_ar = timeit(assemble_render, pred, fgF, bgF,
                        batch["tgt_pose"], iters=20)
-        print(f"[bench] sweep_prepared={ms_sweep_p:.2f}ms "
-              f"assemble+render={ms_ar:.2f}ms", file=sys.stderr)
+        msg = (f"[bench] sweep_prepared={ms_sweep_p:.2f}ms "
+               f"assemble+render={ms_ar:.2f}ms")
+        if fused_net is not None:
+            ms_nf = timeit(net_fused, fgF, bgF, iters=20)
+            msg += f" net_fused={ms_nf:.2f}ms"
+        print(msg, file=sys.stderr)
     ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)
 
     print(f"[bench] sweep={ms_sweep:.2f}ms net={ms_net:.2f}ms "

@@ -125,7 +125,8 @@ def assemble_rgba(which_color_pred: str, msi_pred: Array, net_input: Array,
 def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
                            fgF: Array, bgF: Array, num_planes: int,
                            cap: int = None, row_block: int = None,
-                           cap_pad: int = 16, dtype=None):
+                           cap_pad: int = 16, dtype=None,
+                           pred_layout: str = "hwk"):
     """CNN output + FLIPPED plane-major PSV volumes -> render-native
     layers, in one fused XLA pass (no [H,W,P,4] intermediate).
 
@@ -139,7 +140,10 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
     [H,W,K]->[K,H,W] transpose.
 
     Args:
-      msi_pred: [H, W, K] tanh outputs (UNflipped, channel-minor).
+      msi_pred: [H, W, K] tanh outputs (UNflipped, channel-minor;
+        pred_layout="hwk"), or [H, K, W] row-major (the whole-net
+        Pallas kernel's native output; pred_layout="hkw" — only a
+        cheap leading-dim swap away from the [K, H, W] this needs).
       fgF, bgF: [P, 3, H, W] flipped plane-major sweeps (ref, src eye).
     Returns dict:
       prepared: [P, 4, H+2*pad, W] flipped + row-wrap-padded (dtype or
@@ -157,7 +161,11 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
     pad = geom["pad"]
     dtype = fgF.dtype if dtype is None else dtype
 
-    predF = jnp.flip(jnp.transpose(msi_pred, (2, 0, 1)), axis=2)  # [K,H,W]
+    if pred_layout == "hkw":
+        predF = jnp.flip(jnp.transpose(msi_pred, (1, 0, 2)), axis=2)
+    else:
+        predF = jnp.flip(jnp.transpose(msi_pred, (2, 0, 1)),
+                         axis=2)                              # [K,H,W]
     fg32 = fgF.astype(jnp.float32)
     if which_color_pred == "alpha_only":
         alphaF = (predF[:p] + 1.0) / 2.0
@@ -280,9 +288,24 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
     return outputs
 
 
+def fused_net_ops(model, params, cfg: MatryConfig):
+    """Kernel operands for the whole-net Pallas kernel, or None when
+    the fused net doesn't apply (CoordNet/GCN variants keep the XLA
+    net). Cache the result — it's pure weight repacking."""
+    from matryodshka_tpu.ops import pallas_net
+    if cfg.coord_net or cfg.gcn:
+        return None
+    k = cfg.num_net_outputs()
+    cin0 = 2 * cfg.num_psv_planes * 3
+    ops = pallas_net.prepare_params(params, cfg.ngf, cin0, k,
+                                    dtype=cfg.jnp_compute_dtype)
+    return (ops, cfg.ngf, k)
+
+
 def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
                        batch: Dict[str, Array], psv_depths: Array,
-                       interpret: bool = False) -> Optional[Dict[str, Array]]:
+                       interpret: bool = False,
+                       fused_net=None) -> Optional[Dict[str, Array]]:
     """The zero-layout-tax inference hot path: sweep kernel emits the
     render-native flipped volumes, the assemble blends directly into the
     ladder kernel's layout. Returns dict(prepared [B,P,4,H+2p,W],
@@ -302,13 +325,37 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
     net_input, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
         ref, src, psv_depths, batch["intrinsics"],
         out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
-    msi_pred = apply_fn(params, net_input)
     cap_pad = render_geo._cap_band_pad(h, w, pallas_render.CAP_ROWS)
-    b = net_input.shape[0]
+    b = fgF.shape[0]
+    if fused_net is not None:
+        # Whole-net Pallas kernel: consumes the sweep volumes in
+        # row-major [H, 2*P*3, W] (one leading-dims transpose — the
+        # channel-minor net_input is never materialized; XLA DCEs it
+        # when unused), emits pred in [H, K, W].
+        from matryodshka_tpu.ops import pallas_net
+        net_ops, ngf, k = fused_net
+
+        def _rm(v):
+            p_, c_, h_, w_ = v.shape
+            u = jnp.flip(v, axis=3).reshape(p_ * c_, h_, w_)
+            return jnp.transpose(u, (1, 0, 2))
+
+        preds = []
+        for i in range(b):
+            x_rm = jnp.concatenate([_rm(fgF[i]), _rm(bgF[i])], axis=1)
+            preds.append(pallas_net.unet_forward(
+                x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
+                interpret=interpret))
+        msi_pred = jnp.stack(preds)          # [B, H, K, W]
+        pred_layout = "hkw"
+    else:
+        msi_pred = apply_fn(params, net_input)
+        pred_layout = "hwk"
     per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
                                   fgF[i], bgF[i], cfg.num_msi_planes,
                                   cap_pad=cap_pad,
-                                  dtype=cfg.jnp_compute_dtype)
+                                  dtype=cfg.jnp_compute_dtype,
+                                  pred_layout=pred_layout)
            for i in range(b)]
     out = {k: jnp.stack([d[k] for d in per])
            for k in ("prepared", "cap_top", "cap_bot")}

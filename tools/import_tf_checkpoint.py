@@ -81,17 +81,60 @@ def convert(tf_vars: dict) -> dict:
     return {"params": params}
 
 
+def to_tf_vars(params: dict) -> dict:
+    """Inverse of convert(): flax param tree -> reference-named TF vars.
+
+    Together with tools/tensor_bundle.py this exports checkpoints BACK
+    to the reference's format (and drives the parity dress rehearsal:
+    export -> reimport must be bit-identical)."""
+    p = params["params"] if "params" in params else params
+    tf_vars = {}
+    for layer in CONV_LAYERS:
+        tf_vars[f"net/{layer}/weights"] = np.asarray(p[layer]["kernel"])
+        if "bias" in p[layer]:
+            tf_vars[f"net/{layer}/biases"] = np.asarray(p[layer]["bias"])
+        if layer != "color_pred":
+            ln = p[layer + "_ln"]
+            tf_vars[f"net/{layer}/LayerNorm/beta"] = np.asarray(
+                ln["beta"])
+            tf_vars[f"net/{layer}/LayerNorm/gamma"] = np.asarray(
+                ln["gamma"])
+    for layer in DECONV_LAYERS:
+        k = np.asarray(p[layer]["kernel"])        # flax [kh, kw, in, out]
+        k = np.transpose(k, (0, 1, 3, 2))[::-1, ::-1]   # TF [kh,kw,out,in]
+        tf_vars[f"net/{layer}/weights"] = k
+        if "bias" in p[layer]:
+            tf_vars[f"net/{layer}/biases"] = np.asarray(p[layer]["bias"])
+        ln = p[layer + "_ln"]
+        tf_vars[f"net/{layer}/LayerNorm/beta"] = np.asarray(ln["beta"])
+        tf_vars[f"net/{layer}/LayerNorm/gamma"] = np.asarray(ln["gamma"])
+    return tf_vars
+
+
+def load_tf_vars(path: str) -> dict:
+    """Load TF variables from an .npz dump OR directly from a TF-v1
+    checkpoint prefix (pure-python TensorBundle reader — no TF needed)."""
+    if path.endswith(".npz"):
+        blob = np.load(path, allow_pickle=True)
+        return {k: blob[k] for k in blob.files}
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tensor_bundle
+    return tensor_bundle.load(path)
+
+
 def main():
     ap = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("npz", help=".npz of TF checkpoint variables")
+    ap.add_argument("src", help=".npz of TF variables, or a TF-v1 "
+                    "checkpoint prefix (read without TF)")
     ap.add_argument("out_dir", help="orbax checkpoint dir to write")
     ap.add_argument("--step", type=int, default=0)
     args = ap.parse_args()
 
-    blob = np.load(args.npz, allow_pickle=True)
-    tf_vars = {k: blob[k] for k in blob.files}
+    tf_vars = load_tf_vars(args.src)
     params = convert(tf_vars)
 
     import jax.numpy as jnp
