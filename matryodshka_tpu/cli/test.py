@@ -52,25 +52,48 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
         rgba = outputs["rgba_layers"]
         b = rgba.shape[0]
         eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-        outs = {"rgba_layers": rgba}
+        # outs holds only what test_outputs asks for, so XLA DCEs the
+        # standard assemble/net when the fused path below covers the
+        # requested outputs (the video flow: tgt_image only).
+        outs = {}
+        if "rgba_layers" in test_outputs:
+            outs["rgba_layers"] = rgba
         for k in ("blend_weights", "alphas"):
-            if k in outputs:
+            if k in outputs and k in test_outputs:
                 outs[k] = outputs[k]
         if "psv" in test_outputs:
             outs["psv"] = outputs["psv"]
         if spherical:
             if "tgt_image" in test_outputs:
                 # target poses are dataset translation offsets — the
-                # Pallas ladder render's hot path (exact; falls back to
-                # gathers off-TPU)
-                popts = ({"dtype": cfg.jnp_compute_dtype}
-                         if cfg.use_pallas else None)
-                outs["output_image"] = msi_lib.deprocess_image(
-                    msi_lib.render_equirect_view(
-                        rgba, eye, batch["tgt_pose"], msi_depths,
-                        use_pallas=cfg.use_pallas, pallas_opts=popts))
-                outs["output_depth"] = msi_lib.render_equirect_depth(
-                    rgba, eye, batch["tgt_pose"], msi_depths)
+                # fused product path: sweep kernel -> whole-net kernel
+                # -> prepared assemble -> ladder render, with the
+                # runtime pose-contract gather fallback inside.
+                pouts = None
+                if cfg.use_pallas and not cfg.gcn:
+                    fused = msi_lib.fused_net_ops(model, params, cfg)
+                    pouts = msi_lib.infer_msi_prepared(
+                        lambda p, x: model.apply(p, x), params, cfg,
+                        batch, psv_depths, fused_net=fused)
+                if pouts is not None:
+                    outs["output_image"] = msi_lib.deprocess_image(
+                        msi_lib.render_equirect_view_from_prepared(
+                            pouts, eye, batch["tgt_pose"], msi_depths,
+                            cfg.height))
+                    outs["output_depth"] = (
+                        msi_lib.render_equirect_depth_from_prepared(
+                            pouts, eye, batch["tgt_pose"], msi_depths,
+                            cfg.height))
+                else:
+                    popts = ({"dtype": cfg.jnp_compute_dtype}
+                             if cfg.use_pallas else None)
+                    outs["output_image"] = msi_lib.deprocess_image(
+                        msi_lib.render_equirect_view(
+                            rgba, eye, batch["tgt_pose"], msi_depths,
+                            use_pallas=cfg.use_pallas,
+                            pallas_opts=popts))
+                    outs["output_depth"] = msi_lib.render_equirect_depth(
+                        rgba, eye, batch["tgt_pose"], msi_depths)
             if "psp" in test_outputs:
                 for win in range(4):
                     outs[f"output_psp{win}"] = msi_lib.deprocess_image(

@@ -384,6 +384,43 @@ def render_equirect_view_from_prepared(outputs: Dict[str, Array],
         for i in range(b)])
 
 
+def render_equirect_depth_from_prepared(outputs: Dict[str, Array],
+                                        tgt_pose_rt: Array,
+                                        tgt_pos: Array, radii: Array,
+                                        height: int,
+                                        interpret: bool = False) -> Array:
+    """Depth-proxy render through the SAME fused ladder path.
+
+    over_composite of layers whose rgb is the constant i/P equals
+    over_composite_depth exactly (layer 0's value is 0 and its alpha is
+    force-1 in both; projector.py:225-244) — so depth costs one cheap
+    constant-rgb rewrite of the prepared stack instead of a full
+    gather reprojection.
+    """
+    def depthify_prepared(pr):                   # [P, 4, hpad, W]
+        p = pr.shape[0]
+        vals = (jnp.arange(p, dtype=jnp.float32) / p)[:, None, None, None]
+        rgb = jnp.broadcast_to(vals, (p, 3) + pr.shape[2:]).astype(
+            pr.dtype)
+        return jnp.concatenate([rgb, pr[:, 3:4]], axis=1)
+
+    def depthify_band(band):                     # [rows, W, P, 4]
+        p = band.shape[2]
+        vals = (jnp.arange(p, dtype=jnp.float32) / p)[None, None, :, None]
+        rgb = jnp.broadcast_to(vals, band.shape[:3] + (3,)).astype(
+            band.dtype)
+        return jnp.concatenate([rgb, band[..., 3:4]], axis=-1)
+
+    douts = {
+        "prepared": jax.vmap(depthify_prepared)(outputs["prepared"]),
+        "cap_top": jax.vmap(depthify_band)(outputs["cap_top"]),
+        "cap_bot": jax.vmap(depthify_band)(outputs["cap_bot"]),
+    }
+    return render_equirect_view_from_prepared(douts, tgt_pose_rt,
+                                              tgt_pos, radii, height,
+                                              interpret=interpret)
+
+
 def infer_gcn_msi(gcn_apply, gcn_params, cfg: MatryConfig,
                   batch: Dict[str, Array], psv_depths: Array,
                   mesh_coords: Array, p2v: Array) -> Dict[str, Array]:

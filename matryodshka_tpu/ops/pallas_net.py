@@ -239,14 +239,14 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     # Per-stage VMEM window/band scratch. Window = input rows needed for
     # one band of output rows (+1 spare slot for double buffering when
     # the stage has >1 band). Out band = one band of output rows.
+    # Stages run sequentially with all DMAs drained at stage end, so
+    # buffers (and their semaphores) are POOLED by shape: each stage
+    # claims the n-th instance of a shape for its n-th use, and two
+    # stages never hold a buffer at once.
     vmem_scratch = []
-    sems = 0
     stage_scr = []   # per stage: dict of scratch indices
-
-    def add_vmem(shape, dt):
-        vmem_scratch.append(pltpu.VMEM(shape, dt))
-        return len(vmem_scratch) - 1
-
+    _pool = {}       # (shape, dtype) -> [(buf_idx, sem_idx), ...]
+    _claimed = {}    # per-stage reset: (shape, dtype) -> count
     nonlocal_sem = [0]
 
     def add_sems(n):
@@ -254,7 +254,21 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         nonlocal_sem[0] += n
         return i
 
+    def add_vmem(shape, dt, nsems: int = 0):
+        """Pooled allocation: returns (buf_idx, sem_idx)."""
+        key = (tuple(shape), np.dtype(dt).name)
+        used = _claimed.get(key, 0)
+        _claimed[key] = used + 1
+        insts = _pool.setdefault(key, [])
+        if used < len(insts):
+            return insts[used]
+        vmem_scratch.append(pltpu.VMEM(shape, dt))
+        inst = (len(vmem_scratch) - 1, add_sems(max(nsems, 1)))
+        insts.append(inst)
+        return inst
+
     for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
+        _claimed.clear()
         rows_out = h // outd
         ww_out = w // outd
         rb = _row_band(rows_out)
@@ -268,24 +282,24 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             else:
                 win_rows = stride * rb + 2 * rate
             nslots = 2 if nb > 1 else 1
-            scr["wins"].append(
-                (add_vmem((nslots, win_rows, cs, sww), dtype),
-                 win_rows, nslots))
-            scr["win_sems"].append(add_sems(nslots))
-        if kind == "head":
-            scr["oband"] = add_vmem((2 if nb > 1 else 1, rb, cout,
-                                     ww_out), jnp.float32)
-        else:
-            scr["oband"] = add_vmem((2 if nb > 1 else 1, rb, cout,
-                                     ww_out), dtype)
-        scr["oslots"] = 2 if nb > 1 else 1
-        scr["ob_sems"] = add_sems(scr["oslots"])
+            (bi, si) = add_vmem((nslots, win_rows, cs, sww), dtype,
+                                nsems=nslots)
+            scr["wins"].append((bi, win_rows, nslots))
+            scr["win_sems"].append(si)
+        oslots = 2 if nb > 1 else 1
+        odt = jnp.float32 if kind == "head" else dtype
+        (obi, osi) = add_vmem((oslots, rb, cout, ww_out), odt,
+                              nsems=oslots)
+        scr["oband"] = obi
+        scr["oslots"] = oslots
+        scr["ob_sems"] = osi
         stage_scr.append(scr)
 
-    zeros_idx = add_vmem((2, max(c for (_, _, c, _) in
-                                 bufs_meta.values()),
-                          max(ww for (_, _, _, ww) in
-                              bufs_meta.values())), dtype)
+    _claimed.clear()
+    zeros_idx, _zs = add_vmem((2, max(c for (_, _, c, _) in
+                                      bufs_meta.values()),
+                               max(ww for (_, _, _, ww) in
+                                   bufs_meta.values())), dtype)
     zero_sems = add_sems(2 * len(buf_names))
     n_sems = nonlocal_sem[0]
 

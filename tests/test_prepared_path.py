@@ -127,3 +127,23 @@ def test_prepared_pipeline_with_fused_net():
                                        depths)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                rtol=0, atol=2e-4)
+
+
+def test_prepared_depth_matches_standard():
+    cfg = _cfg()
+    rng = np.random.RandomState(4)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    apply_fn = _fake_net(cfg)
+    outs = msi_lib.infer_msi_prepared(apply_fn, None, cfg, batch, depths,
+                                      interpret=True)
+    eye = jnp.eye(4)[None]
+    tgt_pos = jnp.asarray([[0.02, 0.0, -0.01]])
+    d = msi_lib.render_equirect_depth_from_prepared(
+        outs, eye, tgt_pos, depths, cfg.height, interpret=True)
+    std = msi_lib.assemble_rgba("blend_psv", outs["msi_pred"],
+                                outs["net_input"], P)
+    ref = msi_lib.render_equirect_depth(std["rgba_layers"], eye, tgt_pos,
+                                        depths)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
+                               rtol=0, atol=2e-5)
