@@ -154,12 +154,13 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                   img_ref, park_ref, out_ref, band_ref, vb_ref, *,
                   height: int, width: int, row_block: int,
                   tap2_roll: int = 1):
-    """Grid: (P,). img_ref: [C, H + 2*_VPAD, W] horizontally flipped,
-    vertically wrap-padded source (VMEM); fast: [P, NBLK] SMEM flags;
-    y0/y1/fy: [P, H] SMEM scalars (slow path); dyv/fyv/shiftv/fxv/
-    validv: [P, H, 1] VMEM per-row parameter vectors; park: [C, 1, W]
-    VMEM; out_ref: [1, C, H, W]; scratch: band [C, RB + 2*_VPAD, W],
-    vb [C, RB, W].
+    """Grid: (NP,) — one program per (eye-)plane. img_ref block:
+    [1, C, H + 2*_VPAD, W] wrap-padded source for THIS program's eye
+    (the dual-eye call stacks both images and index-maps i // P);
+    fast: [NP, NBLK] SMEM flags; y0/y1/fy: [NP, H] SMEM scalars (slow
+    path); dyv/fyv/shiftv/fxv/validv: [NP, H, 1] VMEM per-row parameter
+    vectors; park: [1, C, 1, W] block; out_ref: [1, C, H, W]; scratch:
+    band [C, RB + 2*_VPAD, W], vb [C, RB, W].
 
     Rows are processed in blocks of row_block (32/16/8, whichever
     divides the height). On fast blocks (every block of the production
@@ -176,7 +177,7 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
     the plain barrel per-row; block vectorization is the win. See
     tests/test_pallas_sweep.py::test_aligned_shift_bit_exact.)
     """
-    c = img_ref.shape[0]
+    c = img_ref.shape[1]
     pid = pl.program_id(0)
     n_blocks = height // row_block
 
@@ -194,8 +195,9 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
             # the block's source band: padded rows [base, base+RB+2*VPAD)
             # cover original rows [base - VPAD, base + RB + VPAD)
             bs = pl.multiple_of(blk * row_block, 8)
-            band_ref[:, :, :] = img_ref[:, pl.ds(bs,
-                                                 row_block + 2 * _VPAD), :]
+            band_ref[:, :, :] = img_ref[0, :,
+                                        pl.ds(bs, row_block + 2 * _VPAD),
+                                        :]
             block = None                                      # [C, RB, W]
             for m in range(-_KVS, _KVS + 2):
                 cv = ((1.0 - fy_vec) * (dy_vec == m)
@@ -212,8 +214,8 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                 y0 = y0_ref[pid, i]
                 y1 = y1_ref[pid, i]
                 fy = fy_ref[pid, i]
-                row0 = img_ref[:, pl.ds(y0 + _VPAD, 1), :]
-                row1 = img_ref[:, pl.ds(y1 + _VPAD, 1), :]
+                row0 = img_ref[0, :, pl.ds(y0 + _VPAD, 1), :]
+                row1 = img_ref[0, :, pl.ds(y1 + _VPAD, 1), :]
                 vb_ref[:, pl.ds(r, 1), :] = (1.0 - fy) * row0 + fy * row1
                 return 0
 
@@ -225,7 +227,7 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
         fxb = fx_vec[None]                                    # [1, RB, 1]
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
         out_rows = jnp.where(valid_vec[None] > 0, out_rows,
-                             park_ref[:, :, :])
+                             park_ref[0, :, :, :])
         out_ref[0, :, pl.ds(base, row_block), :] = out_rows.astype(
             out_ref.dtype)
         return 0
@@ -273,12 +275,30 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
     park_row = jnp.broadcast_to(image[1, 1, :].reshape(c, 1, 1),
                                 (c, 1, width))
 
+    out = _sweep_call(img_padded[None], park_row[None], params,
+                      p_per_eye=p, height=height, width=width,
+                      out_dtype=out_dtype, flip_out=flip_out,
+                      interpret=interpret)
+    if raw_layout:
+        return out                                    # [P, C, H, W]
+    return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
+
+
+def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
+                p_per_eye: int, height: int, width: int, out_dtype,
+                flip_out: bool, interpret: bool) -> Array:
+    """Shared pallas_call: imgs_padded [NE, C, H+2*_VPAD, W] (one image
+    per eye), parks [NE, C, 1, W], params dict of [NE*P, ...] arrays.
+    Grid (NE*P,); program i uses image i // p_per_eye. Returns
+    [NE*P, C, H, W]."""
+    ne, c = imgs_padded.shape[0], imgs_padded.shape[1]
+    np_total = ne * p_per_eye
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem_vec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     row_block = _row_block(height)
     n_blocks = height // row_block
     # fast flag per (plane, block): every valid row's tap fits the ladder
-    fast = (params["dy_relevant"].reshape(p, n_blocks, row_block)
+    fast = (params["dy_relevant"].reshape(np_total, n_blocks, row_block)
             .max(axis=2) <= _KVS).astype(jnp.int32)
     if row_block % 8:
         # The fast-ladder band slice asserts an 8-aligned sublane start
@@ -286,23 +306,25 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
         # 1 that promise is false, so route every block to the exact
         # per-row path instead of risking a misaligned vector load.
         fast = jnp.zeros_like(fast)
-    out = pl.pallas_call(
+    pp = p_per_eye
+    return pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block,
                           tap2_roll=(width - 1) if flip_out else 1),
-        grid=(p,),
+        grid=(np_total,),
         in_specs=[smem(), smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
                   vmem_vec(),
-                  pl.BlockSpec((c, height + 2 * _VPAD, width),
-                               lambda i: (0, 0, 0),
+                  pl.BlockSpec((1, c, height + 2 * _VPAD, width),
+                               lambda i: (i // pp, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((c, 1, width), lambda i: (0, 0, 0),
+                  pl.BlockSpec((1, c, 1, width),
+                               lambda i: (i // pp, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, c, height, width),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, c, height, width),
+        out_shape=jax.ShapeDtypeStruct((np_total, c, height, width),
                                        out_dtype),
         scratch_shapes=[pltpu.VMEM((c, row_block + 2 * _VPAD, width),
                                    jnp.float32),
@@ -316,10 +338,38 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
       params["dy"][..., None], params["fy"][..., None],
       params["shift"][..., None], params["fx"][..., None],
       params["valid"][..., None],
-      img_padded, park_row.astype(jnp.float32))
-    if raw_layout:
-        return out                                    # [P, C, H, W]
-    return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
+      imgs_padded, parks.astype(jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "out_dtype",
+                                    "interpret"))
+def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
+                          depths: Array, intrinsics: Array,
+                          height: int, width: int,
+                          out_dtype=jnp.float32,
+                          interpret: bool = False):
+    """Both eyes in ONE pallas_call (grid 2P): halves the dispatch and
+    per-call fixed cost vs two single-eye sweeps. Emits the FLIPPED
+    render-native volumes. Returns (fgF, bgF) each [P, C, H, W]."""
+    p = depths.shape[0]
+    imgs, parks = [], []
+    for img in (ref_image, src_image):
+        cf = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
+        imgs.append(jnp.concatenate([cf[:, -_VPAD:], cf,
+                                     cf[:, :_VPAD]], axis=1))
+        c = img.shape[-1]
+        parks.append(jnp.broadcast_to(img[1, 1, :].reshape(c, 1, 1),
+                                      (c, 1, width)))
+    pr = _row_params(1, depths, intrinsics, height, width, flip_out=True)
+    ps = _row_params(-1, depths, intrinsics, height, width,
+                     flip_out=True)
+    params = {k: jnp.concatenate([pr[k], ps[k]], axis=0) for k in pr}
+    out = _sweep_call(jnp.stack(imgs), jnp.stack(parks), params,
+                      p_per_eye=p, height=height, width=width,
+                      out_dtype=out_dtype, flip_out=True,
+                      interpret=interpret)
+    return out[:p], out[p:]
 
 
 def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
@@ -341,16 +391,10 @@ def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
     p = depths.shape[0]
     nets, fgs, bgs = [], [], []
     for i in range(b):
-        fv = _ods_sweep_plane_stack(ref_image[i], 1, depths,
-                                    intrinsics[i], h, w,
-                                    out_dtype=out_dtype,
-                                    interpret=interpret,
-                                    flip_out=True, raw_layout=True)
-        gv = _ods_sweep_plane_stack(src_image[i], -1, depths,
-                                    intrinsics[i], h, w,
-                                    out_dtype=out_dtype,
-                                    interpret=interpret,
-                                    flip_out=True, raw_layout=True)
+        fv, gv = _ods_sweep_dual_stack(ref_image[i], src_image[i],
+                                       depths, intrinsics[i], h, w,
+                                       out_dtype=out_dtype,
+                                       interpret=interpret)
 
         def _net_layout(vol):
             un = jnp.flip(vol, axis=3)                 # [P, C, H, W]
