@@ -47,7 +47,23 @@ def main():
     msi_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
 
+    # The whole-net kernel is new TPU surface: probe-compile it at the
+    # real shape first and fall back to the XLA net if Mosaic rejects
+    # anything, so the bench always produces a number.
     fused_net = msi_lib.fused_net_ops(model, state.params, cfg)
+    if fused_net is not None and jax.default_backend() == "tpu":
+        try:
+            from matryodshka_tpu.ops import pallas_net
+            xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
+                            cfg.width), cfg.jnp_compute_dtype)
+            jax.block_until_ready(pallas_net.unet_forward(
+                xp, fused_net[0], fused_net[1], fused_net[2]))
+            print("[bench] fused net kernel: ok", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            print(f"[bench] fused net kernel unavailable ({type(e).__name__}: "
+                  f"{str(e)[:200]}) — falling back to the XLA net",
+                  file=sys.stderr)
+            fused_net = None
 
     def _e2e_prepared(params, batch):
         outs = msi_lib.infer_msi_prepared(lambda p, x: model.apply(p, x),
@@ -62,6 +78,16 @@ def main():
 
     use_prepared = (cfg.use_pallas and cfg.input_type == "ODS"
                     and jax.default_backend() == "tpu")
+    if use_prepared:
+        try:
+            jax.block_until_ready(
+                jax.jit(_e2e_prepared)(state.params, batch))
+            print("[bench] prepared pipeline: ok", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] prepared pipeline unavailable "
+                  f"({type(e).__name__}: {str(e)[:200]}) — falling back "
+                  f"to the round-2 path", file=sys.stderr)
+            use_prepared = False
 
     @jax.jit
     def e2e(params, batch):

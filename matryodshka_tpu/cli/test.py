@@ -26,7 +26,27 @@ from matryodshka_tpu.training import state as state_lib
 from matryodshka_tpu.training.checkpoint import CheckpointManager
 
 
-def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
+def fused_net_available(cfg: MatryConfig, model, params) -> bool:
+    """Probe-compile the whole-net Pallas kernel (TPU only); callers
+    keep the XLA net when Mosaic rejects anything."""
+    if cfg.gcn or cfg.coord_net or jax.default_backend() != "tpu":
+        return False
+    try:
+        from matryodshka_tpu.ops import pallas_net
+        fused = msi_lib.fused_net_ops(model, params, cfg)
+        if fused is None:
+            return False
+        xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
+                        cfg.width), cfg.jnp_compute_dtype)
+        jax.block_until_ready(pallas_net.unet_forward(
+            xp, fused[0], fused[1], fused[2]))
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def build_infer_fn(cfg: MatryConfig, model, test_outputs: str,
+                   allow_fused: bool = True):
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
     msi_depths = jnp.asarray(sweep_lib.inv_depths(
@@ -71,7 +91,8 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str):
                 # runtime pose-contract gather fallback inside.
                 pouts = None
                 if cfg.use_pallas and not cfg.gcn:
-                    fused = msi_lib.fused_net_ops(model, params, cfg)
+                    fused = (msi_lib.fused_net_ops(model, params, cfg)
+                             if allow_fused else None)
                     pouts = msi_lib.infer_msi_prepared(
                         lambda p, x: model.apply(p, x), params, cfg,
                         batch, psv_depths, fused_net=fused)
@@ -325,7 +346,9 @@ def main(argv=None):
 
     if "high_res_only" not in args.test_type:
         loader = make_loader(cfg, training=False)
-        infer = build_infer_fn(cfg, model, args.test_outputs)
+        infer = build_infer_fn(
+            cfg, model, args.test_outputs,
+            allow_fused=fused_net_available(cfg, model, params))
         for run, batch in enumerate(loader.batches()):
             if 0 <= args.num_runs <= run:
                 break
