@@ -123,15 +123,31 @@ def _residual_tables(u: Array, v: Array, cap: int, row_block: int,
 def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
                    out_ref, rolled_ref, cvs_ref, acc_ref, *,
                    h_mid: int, width: int, cap: int, row_block: int,
-                   kh_max: int, kv_max: int):
-    """Grid (P,). layer_ref: [1, 4, H+2*pad, W] flipped+row-wrap-padded
+                   kh_max: int, kv_max: int,
+                   abs_row0: int = None, band_origin: int = None,
+                   cache_cvs: bool = True):
+    """Grid (P,). layer_ref: [1, 4, bandH, W] flipped+row-wrap-padded
     shell p (VMEM); uv_ref: [1, 2, Hm, W]; out_ref: [3, Hm, W] revisited
     across shells (the running composite). Scratch: rolled [4, band, W]
     (the block's row band, lane-rotated by the current horizontal rung),
-    cvs [MV, R, W] (vertical rung coefficients), acc [4, R, W]."""
+    cvs [MV, R, W] (vertical rung coefficients; unused when cache_cvs
+    is False — high-res calls, where MV would explode VMEM, recompute
+    per rung instead), acc [4, R, W].
+
+    abs_row0: global image row of output row 0 (default: cap — the
+    classic full-mid call); band_origin: global image row stored at
+    layer_ref row 0 (default: -pad). Chunked high-res calls pass layer
+    row BANDS with band_origin = abs_row0 - band_lead so every block's
+    band slice start stays 8-aligned."""
     p = pl.program_id(0)
     nblk = h_mid // row_block
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    if abs_row0 is None:
+        abs_row0 = cap
+    if band_origin is None:
+        band_origin = -pad
+    assert (abs_row0 - band_lead - band_origin) % 8 == 0, (
+        abs_row0, band_lead, band_origin)
 
     def block_body(blk, _):
         base = blk * row_block
@@ -142,7 +158,7 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
             jnp.int32, (row_block, width), 1).astype(jnp.float32)
         i_abs = (jax.lax.broadcasted_iota(
             jnp.int32, (row_block, width), 0).astype(jnp.float32)
-            + (cap + base).astype(jnp.float32))
+            + (abs_row0 + base).astype(jnp.float32))
 
         x0f = jnp.floor(u)
         fx = u - x0f
@@ -159,15 +175,17 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
         mhi = mhi_ref[p, blk]
 
         # Vertical rung coefficients, once per block (static unroll,
-        # runtime-skipped outside [mlo, mhi+1]).
-        for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-            @pl.when((m >= mlo) & (m <= mhi + 1))
-            def _(mi=mi, m=m):
-                cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
-                                     + fy * (dy == m - 1))
+        # runtime-skipped outside [mlo, mhi+1]). High-res calls skip the
+        # cache (MV scratch would not fit VMEM) and recompute per rung.
+        if cache_cvs:
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= mlo) & (m <= mhi + 1))
+                def _(mi=mi, m=m):
+                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                         + fy * (dy == m - 1))
 
         acc_ref[:, :, :] = jnp.zeros((4, row_block, width), acc_ref.dtype)
-        bs = pl.multiple_of(cap + base - band_lead + pad, 8)
+        bs = pl.multiple_of(abs_row0 + base - band_lead - band_origin, 8)
 
         def rungs(k):
             """Accumulate every vertical rung of horizontal rung k.
@@ -180,7 +198,12 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                 @pl.when((m >= mlo) & (m <= mhi + 1))
                 def _(mi=mi, m=m):
-                    coef = ch * cvs_ref[mi, :, :]
+                    if cache_cvs:
+                        cv = cvs_ref[mi, :, :]
+                    else:
+                        cv = ((1.0 - fy) * (dy == m)
+                              + fy * (dy == m - 1))
+                    coef = ch * cv
                     tap = rolled_ref[:, band_lead + m:
                                      band_lead + m + row_block, :]
                     acc_ref[:, :, :] = (acc_ref[:, :, :]
@@ -286,6 +309,101 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         interpret=interpret,
     )(klo, khi, mlo, mhi, layers_flipped_padded, uvm)
     return jnp.transpose(out, (1, 2, 0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "abs_row0", "row_block", "kh_max", "kv_max", "cache_cvs",
+    "interpret"))
+def _ladder_render_chunk(layer_band: Array, uvm_chunk: Array,
+                         abs_row0: int, row_block: int, kh_max: int,
+                         kv_max: int, cache_cvs: bool = True,
+                         interpret: bool = False) -> Array:
+    """One chunk of output rows from layer row BANDS (the high-res
+    entry: VMEM is bounded by the band height, not the image height).
+
+    layer_band: [P, 4, bandH, W] where row 0 holds global image row
+    (abs_row0 - band_lead); uvm_chunk: [P, 2, nr, W] for output rows
+    [abs_row0, abs_row0 + nr). Returns [nr, W, 3]."""
+    p, c, bandh, w = layer_band.shape
+    nr = uvm_chunk.shape[2]
+    band_lead, band, _ = _band_geometry(0, row_block, kv_max)
+    assert c == 4 and nr % row_block == 0, (c, nr, row_block)
+    assert bandh == band_lead + nr + kv_max + 1, (bandh, band_lead, nr)
+    mv = 2 * kv_max + 2
+
+    klo, khi, mlo, mhi = _residual_tables(
+        uvm_chunk[:, 0], uvm_chunk[:, 1], abs_row0, row_block,
+        kh_max, kv_max)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 4, bandh, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, nr, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, nr, w), lambda i, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((mv, row_block, w) if cache_cvs else (1, 8, 128),
+                       jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel, h_mid=nr, width=w, cap=0,
+                          row_block=row_block, kh_max=kh_max,
+                          kv_max=kv_max, abs_row0=abs_row0,
+                          band_origin=abs_row0 - band_lead,
+                          cache_cvs=cache_cvs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, nr, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(klo, khi, mlo, mhi, layer_band, uvm_chunk)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def render_mid_chunked(prepared: Array, uv: Array, height: int,
+                       cap: int, chunk_rows: int,
+                       row_block: int = ROW_BLOCK,
+                       kh_max: int = None, kv_max: int = None,
+                       cache_cvs: bool = None,
+                       interpret: bool = False) -> Array:
+    """Mid rows rendered in row chunks — the high-res path: each chunk
+    call sees only a band of layer rows, so VMEM stays bounded at any
+    resolution. Numerically identical to render_mid_prepared.
+
+    prepared: [P, 4, H+2*pad, W] (assemble_rgba_prepared layout);
+    uv: [P, H, W, 2]. Returns [H-2*cap, W, 3]."""
+    p, _, hpad, w = prepared.shape
+    h = height
+    dkh, dkv = default_bounds(h, w, cap)
+    kh_max = dkh if kh_max is None else kh_max
+    kv_max = dkv if kv_max is None else kv_max
+    # pad must match what prepare_layers/assemble used for THIS kv_max
+    _, _, pad = _band_geometry(cap, row_block, kv_max)
+    band_lead, _, _ = _band_geometry(0, row_block, kv_max)
+    if cache_cvs is None:
+        cache_cvs = (2 * kv_max + 2) * row_block * w * 4 < 16_000_000
+    hm = h - 2 * cap
+    assert hm % chunk_rows == 0 and chunk_rows % row_block == 0
+    assert cap + pad >= band_lead, (cap, pad, band_lead)
+    bandh = band_lead + chunk_rows + kv_max + 1
+    outs = []
+    for ci in range(hm // chunk_rows):
+        r0 = cap + ci * chunk_rows
+        lo = r0 - band_lead + pad          # layer-array row of band row 0
+        band = jax.lax.slice_in_dim(prepared, lo, lo + bandh, axis=2)
+        uvm = jnp.transpose(uv[:, r0:r0 + chunk_rows], (0, 3, 1, 2))
+        outs.append(_ladder_render_chunk(
+            band, uvm.astype(jnp.float32), r0, row_block, kh_max,
+            kv_max, cache_cvs=cache_cvs, interpret=interpret))
+    return jnp.concatenate(outs, axis=0)
 
 
 def prepared_geometry(h: int, w: int, cap: int = CAP_ROWS,

@@ -61,17 +61,33 @@ def _row_params(order: int, depths: Array, intrinsics: Array,
     """
     p = depths.shape[0]
     S, T = grids.lat_long_grid((height, width))
-    # evaluate the exact projection at column 0 only: [P, H, 1]
-    S0 = S[:, :1]
-    T0 = T[:, :1]
-    pts = cameras.backproject_spherical(S0, T0, depths)
+    # Evaluate the exact projection at a FEW spread columns and take
+    # the first non-parked one per (plane, row). A single-column eval
+    # is a landmine: project_ods' quadratic disc suffers catastrophic
+    # f32 cancellation for far shells near the equator, spuriously
+    # parking individual pixels at (1, 1) ("park-flip noise",
+    # PARITY.md) — if the one evaluated column parks while the row is
+    # geometrically valid, the whole row renders from garbage params.
+    # u0 recovers from any column c as u(c) + c (mod W); v is constant
+    # along the row.
+    cols = [0, width // 4, width // 2, (3 * width) // 4]
+    Sc = S[:, cols]
+    Tc = T[:, cols]
+    pts = cameras.backproject_spherical(Sc, Tc, depths)
     uv = cameras.project_ods(pts, order, None, intrinsics, width, height)
-    u0 = uv[..., 0, 0]                      # [P, H]
-    v = uv[..., 0, 1]                       # [P, H]
+    uc = uv[..., 0]                          # [P, H, 4]
+    vc = uv[..., 1]
+    parked = (uc == 1.0) & (vc == 1.0)
+    u0c = jnp.mod(uc + jnp.asarray(cols, uc.dtype), width)
+    # first non-parked column (fall back to column 0 if all parked —
+    # then the row is genuinely invalid and the park select covers it)
+    idx = jnp.argmax(jnp.logical_not(parked), axis=-1)
+    u0 = jnp.take_along_axis(u0c, idx[..., None], axis=-1)[..., 0]
+    v = jnp.take_along_axis(vc, idx[..., None], axis=-1)[..., 0]
 
     # validity: tangent exists iff the point's XZ radius >= circle radius
     r = intrinsics[0, 0]
-    rho = depths[:, None] * jnp.cos(T0[None, :, 0])
+    rho = depths[:, None] * jnp.cos(T[None, :, 0])
     valid = rho >= r
 
     y0f = jnp.floor(v)
@@ -405,6 +421,96 @@ def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
         fgs.append(fv)
         bgs.append(gv)
     return jnp.stack(nets), jnp.stack(fgs), jnp.stack(bgs)
+
+
+def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,
+                               depths: Array, intrinsics: Array,
+                               chunk_rows: int,
+                               out_dtype=jnp.float32,
+                               interpret: bool = False):
+    """High-res dual sweep in ROW CHUNKS: each pallas_call sees only an
+    image row band, so VMEM stays bounded at 4096x2048 (the whole-image
+    dual call needs the full padded source resident). Chunks whose
+    validity-boundary rows exceed the vertical ladder take an exact
+    XLA-gather branch (lax.cond), mirroring the render's pose-contract
+    fallback. Emits the FLIPPED plane-major volumes like
+    ods_sweep_identity_prepared: returns (fgF, bgF) [B, P, C, H, W].
+    """
+    from matryodshka_tpu.geometry import cameras, grids
+    from matryodshka_tpu.ops.resample import resample_stack
+
+    b, h, w, c = ref_image.shape
+    p = depths.shape[0]
+    assert h % chunk_rows == 0, (h, chunk_rows)
+    nch = h // chunk_rows
+
+    fgs, bgs = [], []
+    for bi in range(b):
+        imgs, parks = [], []
+        for img in (ref_image[bi], src_image[bi]):
+            cf = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
+            imgs.append(jnp.concatenate([cf[:, -_VPAD:], cf,
+                                         cf[:, :_VPAD]], axis=1))
+            parks.append(jnp.broadcast_to(
+                img[1, 1, :].reshape(c, 1, 1), (c, 1, w)))
+        imgs = jnp.stack(imgs)                    # [2, C, H+2VPAD, W]
+        parks = jnp.stack(parks)
+        pr = _row_params(1, depths, intrinsics[bi], h, w, flip_out=True)
+        ps = _row_params(-1, depths, intrinsics[bi], h, w,
+                         flip_out=True)
+        params = {k: jnp.concatenate([pr[k], ps[k]], axis=0)
+                  for k in pr}
+
+        def gather_chunk(r0):
+            """Exact fallback: rows [r0, r0+chunk_rows) of both eyes via
+            the general gather path, flipped plane-major."""
+            S, T = grids.lat_long_grid((h, w))
+            Sc = jax.lax.dynamic_slice_in_dim(S, r0, chunk_rows, 0)
+            Tc = jax.lax.dynamic_slice_in_dim(T, r0, chunk_rows, 0)
+            outs = []
+            for ei, (img, order) in enumerate(((ref_image[bi], 1),
+                                               (src_image[bi], -1))):
+                pts = cameras.backproject_spherical(Sc, Tc, depths)
+                uv = cameras.project_ods(pts, order, None,
+                                         intrinsics[bi], w, h)
+                vol = resample_stack(img, uv, wrap=True)  # [P,nr,W,C]
+                volF = jnp.flip(vol, axis=2)
+                outs.append(jnp.transpose(volF, (0, 3, 1, 2)))
+            return tuple(o.astype(out_dtype) for o in outs)
+
+        chunks_fg, chunks_bg = [], []
+        row_block = _row_block(chunk_rows)
+        nblk_c = chunk_rows // row_block
+        for ci in range(nch):
+            r0 = ci * chunk_rows
+            pchunk = {k: jax.lax.dynamic_slice_in_dim(v, r0, chunk_rows,
+                                                      axis=1)
+                      for k, v in params.items()}
+            band = jax.lax.slice_in_dim(imgs, r0, r0 + chunk_rows
+                                        + 2 * _VPAD, axis=2)
+            fastc = (pchunk["dy_relevant"]
+                     .reshape(2 * p, nblk_c, row_block)
+                     .max(axis=2) <= _KVS)
+            all_fast = jnp.all(fastc) & (row_block % 8 == 0)
+
+            def kernel_branch(band, pchunk):
+                out = _sweep_call(band, parks, pchunk, p_per_eye=p,
+                                  height=chunk_rows, width=w,
+                                  out_dtype=out_dtype, flip_out=True,
+                                  interpret=interpret)
+                return out[:p], out[p:]
+
+            def gather_branch(band, pchunk, r0=r0):
+                del band, pchunk
+                return gather_chunk(r0)
+
+            fg_c, bg_c = jax.lax.cond(all_fast, kernel_branch,
+                                      gather_branch, band, pchunk)
+            chunks_fg.append(fg_c)
+            chunks_bg.append(bg_c)
+        fgs.append(jnp.concatenate(chunks_fg, axis=2))
+        bgs.append(jnp.concatenate(chunks_bg, axis=2))
+    return jnp.stack(fgs), jnp.stack(bgs)
 
 
 def ods_sweep_identity(image: Array, order: int, depths: Array,

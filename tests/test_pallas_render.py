@@ -111,3 +111,24 @@ def test_declines_bad_shapes():
     uv = jnp.zeros((P, H, 100, 2))
     assert pallas_render.render_equirect_mid_pallas(layers, uv,
                                                     **OPTS) is None
+
+
+@pytest.mark.parametrize("cache_cvs", [True, False])
+def test_chunked_render_matches_mid(cache_cvs):
+    """The high-res chunked entry (layer row bands, bounded VMEM) must
+    reproduce the full-mid kernel exactly, with and without the
+    vertical-coefficient cache."""
+    rng = np.random.RandomState(5)
+    layers = _layers(rng)
+    radii = _radii()
+    tgt = jnp.asarray([0.04, 0.01, -0.03])
+    uv = intersect.intersect_sphere(jnp.eye(4), tgt, radii, W, H)
+
+    mid = pallas_render.render_equirect_mid_pallas(layers, uv, **OPTS)
+    prepared = pallas_render.prepare_layers(layers, cap=8, row_block=8,
+                                            kv_max=5)
+    chunked = pallas_render.render_mid_chunked(
+        prepared, uv, H, cap=8, chunk_rows=16, row_block=8,
+        kh_max=14, kv_max=5, cache_cvs=cache_cvs, interpret=True)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(mid),
+                               rtol=0, atol=1e-6)
