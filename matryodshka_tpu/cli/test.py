@@ -147,6 +147,78 @@ def build_infer_fn(cfg: MatryConfig, model, test_outputs: str,
     return infer
 
 
+def _hres_fused_plan(hh: int, hw: int):
+    """(cap, render_chunk, sweep_chunk) for the fused high-res path, or
+    None when the shape doesn't band cleanly. The pole cap scales with
+    resolution (the ladder's horizontal bound is kv / sin(cap*pi/H))."""
+    if hw % 128 or hh % 32:
+        return None
+    cap = max(16, hh // 16)
+    hm = hh - 2 * cap
+    if hm <= 0 or hm % 32:
+        return None
+    render_chunk = next((c for c in (128, 96, 64, 32) if hm % c == 0),
+                        None)
+    sweep_chunk = next((c for c in (128, 64, 32, 16) if hh % c == 0),
+                       None)
+    if render_chunk is None or sweep_chunk is None:
+        return None
+    return cap, render_chunk, sweep_chunk
+
+
+def build_hres_render_fn_fused(cfg: MatryConfig, interpret: bool = False):
+    """High-res re-render through the fused kernels: row-chunked dual
+    sweep -> hres prepared assembly -> row-chunked ladder render (+ the
+    runtime pose-contract gather fallback inside). Replaces the
+    per-plane gather scan (~270M gathered rows/frame at 4096x2048) for
+    blend_psv ODS configs; returns None when the fused path doesn't
+    apply and the caller keeps the scan."""
+    from matryodshka_tpu.ops import pallas_sweep
+    hh, hw = cfg.hres_height, cfg.hres_width
+    plan = _hres_fused_plan(hh, hw)
+    if (plan is None or cfg.which_color_pred != "blend_psv"
+            or cfg.input_type != "ODS" or not cfg.use_pallas
+            or not (interpret or jax.default_backend() == "tpu")):
+        return None
+    cap, render_chunk, sweep_chunk = plan
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    p = cfg.num_psv_planes
+
+    @jax.jit
+    def render(hres_ref, hres_src, blend_weights, alphas, ref_pose,
+               src_pose, ref_pose_inv, intrinsics, tgt_pose):
+        from matryodshka_tpu.geometry import render as render_geo
+        from matryodshka_tpu.ops import pallas_render
+        ref = msi_lib.preprocess_image(hres_ref)
+        src = msi_lib.preprocess_image(hres_src)
+        u_ba = msi_lib.upsample_align_corners(
+            jnp.concatenate([blend_weights, alphas], axis=-1), hh, hw)
+        fgF, bgF = pallas_sweep.ods_sweep_identity_chunked(
+            ref, src, psv_depths, intrinsics, chunk_rows=sweep_chunk,
+            out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+        cap_pad = render_geo._cap_band_pad(hh, hw, cap)
+        kv = pallas_render.default_bounds(hh, hw, cap)[1]
+        b = fgF.shape[0]
+        per = [msi_lib.assemble_hres_prepared(
+            cfg.which_color_pred, u_ba[i, ..., :p], u_ba[i, ..., p:],
+            fgF[i], bgF[i], None, cap, pallas_render.ROW_BLOCK,
+            cap_pad, kv, dtype=cfg.jnp_compute_dtype) for i in range(b)]
+        outs = {k: jnp.stack([d[k] for d in per])
+                for k in ("prepared", "cap_top", "cap_bot")}
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        rgb = msi_lib.deprocess_image(
+            msi_lib.render_equirect_view_from_prepared(
+                outs, eye, tgt_pose, psv_depths, hh, cap=cap,
+                chunk_rows=render_chunk, interpret=interpret))
+        depth1 = msi_lib.render_equirect_depth_from_prepared(
+            outs, eye, tgt_pose, psv_depths, hh, cap=cap,
+            chunk_rows=render_chunk, interpret=interpret)
+        return rgb, depth1
+
+    return render
+
+
 def build_hres_render_fn(cfg: MatryConfig, mesh=None):
     """Shell-streamed high-res re-render.
 
@@ -376,7 +448,14 @@ def main(argv=None):
                 mesh = make_mesh(shell=n)
                 print(f"[test] sharding {cfg.num_psv_planes} shells over "
                       f"{n} devices")
-        render = build_hres_render_fn(cfg, mesh=mesh)
+        render = None
+        if mesh is None:
+            render = build_hres_render_fn_fused(cfg)
+            if render is not None:
+                print("[test] high-res re-render via the fused "
+                      "chunked kernels")
+        if render is None:
+            render = build_hres_render_fn(cfg, mesh=mesh)
         for run, batch in enumerate(loader.batches()):
             if 0 <= args.num_runs <= run:
                 break

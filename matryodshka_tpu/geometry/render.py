@@ -196,6 +196,7 @@ def render_equirect_view_prepared(prepared: Array, cap_top: Array,
                                   tgt_pos: Array, radii: Array,
                                   height: int, cap: int, row_block: int,
                                   cap_pad: int,
+                                  chunk_rows: int = None,
                                   interpret: bool = False) -> Array:
     """Novel ERP view from render-native layers (the zero-layout-tax hot
     path): prepared [P, 4, H+2*pad, W] + pole bands from
@@ -213,9 +214,15 @@ def render_equirect_view_prepared(prepared: Array, cap_top: Array,
     ok = pallas_render.residual_ok(uv, cap, cap_pad=cap_pad)
 
     def fused_path(prepared, cap_top, cap_bot, uv):
-        mid = pallas_render.render_mid_prepared(prepared, uv, cap,
-                                                row_block,
-                                                interpret=interpret)
+        if chunk_rows is not None:
+            # high-res: row-chunked mid render (bounded VMEM)
+            mid = pallas_render.render_mid_chunked(
+                prepared, uv, h, cap, chunk_rows, row_block,
+                interpret=interpret)
+        else:
+            mid = pallas_render.render_mid_prepared(prepared, uv, cap,
+                                                    row_block,
+                                                    interpret=interpret)
         top = _cap_over_band(cap_top, uv[:, :cap], float(cap_pad))
         bot = _cap_over_band(cap_bot, uv[:, h - cap:],
                              float(cap_pad + cap - h))

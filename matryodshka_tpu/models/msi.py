@@ -183,23 +183,56 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
             rgbF = bgw * rgbF + (1.0 - bgw) * predF[None, -3:]
         else:
             raise ValueError(which_color_pred)
-    layersF = jnp.concatenate([rgbF, alphaF[:, None]], axis=1)  # [P,4,H,W]
+    return _finish_prepared(rgbF, alphaF, h, pad, geom["cap"], cap_pad,
+                            dtype)
 
+
+def _finish_prepared(rgbF: Array, alphaF: Array, h: int, pad: int,
+                     cap: int, cap_pad: int, dtype) -> Dict[str, Array]:
+    """Shared tail of the prepared assembles: wrap-pad rows into the
+    ladder layout and cut the two pole-cap gather bands."""
+    layersF = jnp.concatenate([rgbF, alphaF[:, None]], axis=1)  # [P,4,H,W]
     prepared = jnp.concatenate([layersF[:, :, h - pad:], layersF,
                                 layersF[:, :, :pad]],
                                axis=2).astype(dtype)
-
     bp = cap_pad
-    c_rows = geom["cap"]
 
     def _cap_band(lo_wrap, hi):
         bandF = jnp.concatenate([layersF[:, :, lo_wrap:],
                                  layersF[:, :, :hi]], axis=2)
         return jnp.transpose(jnp.flip(bandF, axis=3), (2, 3, 0, 1))
 
-    cap_top = _cap_band(h - bp, c_rows + bp)
-    cap_bot = _cap_band(h - c_rows - bp, bp)
+    cap_top = _cap_band(h - bp, cap + bp)
+    cap_bot = _cap_band(h - cap - bp, bp)
     return {"prepared": prepared, "cap_top": cap_top, "cap_bot": cap_bot}
+
+
+def assemble_hres_prepared(which_color_pred: str, u_blend: Array,
+                           u_alphas: Array, fgF: Array, bgF: Array,
+                           u_bg_rgb: Optional[Array], cap: int,
+                           row_block: int, cap_pad: int,
+                           kv_max: int, dtype=None) -> Dict[str, Array]:
+    """High-res analogue of assemble_rgba_prepared: UPSAMPLED blend
+    weights/alphas (already in [0, 1], channel-minor [H, W, P] — the
+    msi.py:149-165 semantics) applied to the flipped high-res sweep
+    volumes. Returns the same prepared/cap-band dict."""
+    from matryodshka_tpu.ops.pallas_render import _band_geometry
+    p_, _, h, w = fgF.shape
+    _, _, pad = _band_geometry(cap, row_block, kv_max)
+    dtype = fgF.dtype if dtype is None else dtype
+    blendF = jnp.flip(jnp.transpose(u_blend, (2, 0, 1)), axis=2)
+    alphaF = jnp.flip(jnp.transpose(u_alphas, (2, 0, 1)), axis=2)
+    fg32 = fgF.astype(jnp.float32)
+    if which_color_pred == "alpha_only":
+        rgbF = fg32
+    elif which_color_pred == "blend_bg":
+        bgrF = jnp.flip(jnp.transpose(u_bg_rgb, (2, 0, 1)), axis=2)
+        rgbF = (blendF[:, None] * fg32
+                + (1.0 - blendF[:, None]) * bgrF[None])
+    else:
+        rgbF = (blendF[:, None] * fg32
+                + (1.0 - blendF[:, None]) * bgF.astype(jnp.float32))
+    return _finish_prepared(rgbF, alphaF, h, pad, cap, cap_pad, dtype)
 
 
 def assemble_hres_rgba(which_color_pred: str, outputs: Dict[str, Array],
@@ -367,20 +400,24 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
 def render_equirect_view_from_prepared(outputs: Dict[str, Array],
                                        tgt_pose_rt: Array, tgt_pos: Array,
                                        radii: Array, height: int,
+                                       cap: int = None,
+                                       chunk_rows: int = None,
                                        interpret: bool = False) -> Array:
-    """Batched companion to infer_msi_prepared: [B,...] -> [B, H, W, 3]."""
+    """Batched companion to infer_msi_prepared: [B,...] -> [B, H, W, 3].
+    cap/chunk_rows override the defaults for high-res calls (larger
+    pole caps, row-chunked mid kernel)."""
     from matryodshka_tpu.geometry import render as render_geo
     from matryodshka_tpu.ops import pallas_render
     b = outputs["prepared"].shape[0]
     w = outputs["prepared"].shape[-1]
-    cap = pallas_render.CAP_ROWS
+    cap = pallas_render.CAP_ROWS if cap is None else cap
     cap_pad = render_geo._cap_band_pad(height, w, cap)
     return jnp.stack([
         render_lib.render_equirect_view_prepared(
             outputs["prepared"][i], outputs["cap_top"][i],
             outputs["cap_bot"][i], tgt_pose_rt[i], tgt_pos[i], radii,
             height, cap, pallas_render.ROW_BLOCK, cap_pad,
-            interpret=interpret)
+            chunk_rows=chunk_rows, interpret=interpret)
         for i in range(b)])
 
 
@@ -388,6 +425,8 @@ def render_equirect_depth_from_prepared(outputs: Dict[str, Array],
                                         tgt_pose_rt: Array,
                                         tgt_pos: Array, radii: Array,
                                         height: int,
+                                        cap: int = None,
+                                        chunk_rows: int = None,
                                         interpret: bool = False) -> Array:
     """Depth-proxy render through the SAME fused ladder path.
 
@@ -418,6 +457,8 @@ def render_equirect_depth_from_prepared(outputs: Dict[str, Array],
     }
     return render_equirect_view_from_prepared(douts, tgt_pose_rt,
                                               tgt_pos, radii, height,
+                                              cap=cap,
+                                              chunk_rows=chunk_rows,
                                               interpret=interpret)
 
 
