@@ -125,18 +125,43 @@ def _conv_lhs(kernel, dtype):
     return out
 
 
+def _wp(w: int) -> int:
+    """Padded lane width (Mosaic: DMA lane dims must be 128-aligned)."""
+    return max(128, 128 * -(-w // 128))
+
+
 def _even_select(w: int, dtype):
-    """One-hot [W, W/2] selecting even lanes: (x @ S)[c] = x[2c]."""
-    s = np.zeros((w, w // 2), np.float32)
+    """One-hot [Wp(w), Wp(w/2)] selecting even LOGICAL lanes:
+    (x @ S)[c] = x[2c] for c < w/2, 0 in pad lanes (keeps pads clean)."""
+    s = np.zeros((_wp(w), _wp(w // 2)), np.float32)
     s[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
     return jnp.asarray(s, dtype=dtype)
 
 
 def _interleave_expand(w_half: int, parity: int, dtype):
-    """One-hot [W/2, W] scattering lanes to (2c + parity)."""
-    s = np.zeros((w_half, 2 * w_half), np.float32)
+    """One-hot [Wp(W/2), Wp(W)] scattering lanes to (2c + parity);
+    pad rows/columns zero."""
+    s = np.zeros((_wp(w_half), _wp(2 * w_half)), np.float32)
     s[np.arange(w_half), 2 * np.arange(w_half) + parity] = 1.0
     return jnp.asarray(s, dtype=dtype)
+
+
+def _wrap_roll(y, amt: int, wlog: int):
+    """Circular roll over the first `wlog` lanes of a possibly
+    lane-padded array: z[j] = y[(j - amt) mod wlog] for j < wlog (pad
+    lanes undefined). One native roll when unpadded; two rolls + a
+    lane select when padded — never READS pad lanes, so garbage there
+    stays contained."""
+    wp = y.shape[-1]
+    t = amt % wlog
+    if t == 0:
+        return y
+    if wp == wlog:
+        return pltpu.roll(y, t, axis=1)
+    a = pltpu.roll(y, t, axis=1)
+    b = pltpu.roll(y, t + wp - wlog, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    return jnp.where(lane < t, b, a)
 
 
 def prepare_params(flax_params: Dict, ngf: int, cin0: int,
@@ -216,25 +241,33 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     by_name = {e[0]: e for e in plan}
     layer_idx = {e[0]: i for i, e in enumerate(plan)}
 
-    # HBM activation buffers: [rows + 2*pad, C, W] bf16. pad = max rate
-    # of any consumer (conv4_x are rate 2).
-    bufs_meta = {"x": (1, h, cin0, w)}
+    def wpad(ww):
+        """DMA lane dims must be 128-aligned (hard Mosaic rule observed
+        on v5e): activations are stored/processed at the padded width,
+        with pad lanes kept zero at store and wrap handled by masked
+        rolls over the logical width."""
+        return max(128, 128 * -(-ww // 128))
+
+    # HBM activation buffers: [rows + 2*pad, C, Wp] bf16. pad = max rate
+    # of any consumer (conv4_x are rate 2). Tuples: (pad, rows, c,
+    # w_logical, w_padded).
+    bufs_meta = {"x": (1, h, cin0, w, wpad(w))}
     for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
         if kind == "head":
             continue
         pad = 2 if name in ("conv3_3", "conv4_1", "conv4_2") else 1
-        bufs_meta[name] = (pad, h // outd, cout, w // outd)
+        bufs_meta[name] = (pad, h // outd, cout, w // outd,
+                           wpad(w // outd))
     buf_names = list(bufs_meta.keys())
-    buf_pos = {n: i for i, n in enumerate(buf_names)}
 
-    def phys_lanes(ww):
-        return max(128, 128 * -(- ww // 128))
+    assert w == wpad(w), ("input/output width must be 128-aligned "
+                          "(internal stages pad automatically)", w)
 
     hbm_scratch = []
     for n in buf_names[1:]:                       # x is an operand
-        pad, rows, c, ww = bufs_meta[n]
+        pad, rows, c, ww, wp = bufs_meta[n]
         hbm_scratch.append(
-            pltpu.HBM((rows + 2 * pad, c, ww), dtype))
+            pltpu.HBM((rows + 2 * pad, c, wp), dtype))
 
     # Per-stage VMEM window/band scratch. Window = input rows needed for
     # one band of output rows (+1 spare slot for double buffering when
@@ -276,30 +309,35 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         scr = {"rb": rb, "nb": nb, "wins": [], "win_sems": []}
         stride = 2 if kind == "down" else 1
         for s, cs in zip(srcs, cins):
-            sww = bufs_meta[s][3]
+            swp = bufs_meta[s][4]
             if kind == "deconv":
                 win_rows = rb // 2 + 2
             else:
                 win_rows = stride * rb + 2 * rate
             nslots = 2 if nb > 1 else 1
-            (bi, si) = add_vmem((nslots, win_rows, cs, sww), dtype,
+            (bi, si) = add_vmem((nslots, win_rows, cs, swp), dtype,
                                 nsems=nslots)
             scr["wins"].append((bi, win_rows, nslots))
             scr["win_sems"].append(si)
         oslots = 2 if nb > 1 else 1
         odt = jnp.float32 if kind == "head" else dtype
-        (obi, osi) = add_vmem((oslots, rb, cout, ww_out), odt,
+        (obi, osi) = add_vmem((oslots, rb, cout, wpad(ww_out)), odt,
                               nsems=oslots)
         scr["oband"] = obi
         scr["oslots"] = oslots
         scr["ob_sems"] = osi
         stage_scr.append(scr)
 
+    # Exact-shaped zero buffers per distinct (C, W): DMA lane slices
+    # must be 128-aligned, so a shared max-size arena cannot be sliced
+    # to odd widths like 320.
     _claimed.clear()
-    zeros_idx, _zs = add_vmem((2, max(c for (_, _, c, _) in
-                                      bufs_meta.values()),
-                               max(ww for (_, _, _, ww) in
-                                   bufs_meta.values())), dtype)
+    zeros_idx = {}
+    for n in buf_names[1:]:
+        pad, rows, c, ww, wp = bufs_meta[n]
+        key = (c, wp)
+        if key not in zeros_idx:
+            zeros_idx[key], _ = add_vmem((2, c, wp), dtype)
     zero_sems = add_sems(2 * len(buf_names))
     n_sems = nonlocal_sem[0]
 
@@ -335,18 +373,19 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             return ops[i], ops[i + 1]
 
         # ---- zero the HBM pad rows (once) -------------------------------
-        zarena = vrefs[zeros_idx]
-        zarena[:, :, :] = jnp.zeros(zarena.shape, dtype)
+        for (c, ww), zi_buf in zeros_idx.items():
+            z = vrefs[zi_buf]
+            z[:, :, :] = jnp.zeros(z.shape, dtype)
         zi = 0
         zero_dmas = []
         for n in buf_names[1:]:
-            pad, rows, c, ww = bufs_meta[n]
+            pad, rows, c, ww, wp = bufs_meta[n]
+            zarena = vrefs[zeros_idx[(c, wp)]]
             for top in (True, False):
                 dst = (hbufs[n].at[0:pad] if top
                        else hbufs[n].at[rows + pad:rows + 2 * pad])
                 d = pltpu.make_async_copy(
-                    zarena.at[0:pad, 0:c, 0:ww], dst,
-                    sem.at[zero_sems + zi])
+                    zarena.at[0:pad], dst, sem.at[zero_sems + zi])
                 d.start()
                 zero_dmas.append(d)
                 zi += 1
@@ -368,7 +407,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 return None
             li = layer_idx[src_name]
             gamma, beta = ln_params[li]
-            rows, c, ww = bufs_meta[src_name][1:]
+            rows, c, ww, wp = bufs_meta[src_name][1:]
             n = float(rows * c * ww)
             mean = stats[li, 0] / n
             var = jnp.maximum(stats[li, 1] / n - mean * mean, 0.0)
@@ -547,11 +586,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     win = vrefs[vref_i]
                     ob = vrefs[ob_i]
 
+                    swp = win.shape[-1]
+
                     def one(rl, _):
                         base = stride * rl
                         if rate == 1:
                             rhs = win[slot, pl.ds(base, 3),
-                                      :, :].reshape(3 * sc, sw)
+                                      :, :].reshape(3 * sc, swp)
                             y0 = jnp.dot(L0[:, :], rhs,
                                          preferred_element_type=jnp.float32)
                             y1 = jnp.dot(L1[:, :], rhs,
@@ -559,7 +600,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                             y2 = jnp.dot(L2[:, :], rhs,
                                          preferred_element_type=jnp.float32)
                         else:
-                            y0 = y1 = y2 = jnp.zeros((cout, sw),
+                            y0 = y1 = y2 = jnp.zeros((cout, swp),
                                                      jnp.float32)
                             for dy in range(3):
                                 rr = win[slot, base + dy * rate, :, :]
@@ -572,13 +613,21 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                 y2 += jnp.dot(
                                     L2[:, dy * sc:(dy + 1) * sc], rr,
                                     preferred_element_type=jnp.float32)
-                        dense = (pltpu.roll(y0, rate, axis=1) + y1
-                                 + pltpu.roll(y2, sw - rate, axis=1)
+                        dense = (_wrap_roll(y0, rate, sw) + y1
+                                 + _wrap_roll(y2, sw - rate, sw)
                                  + bias[:, :])
                         if sel is not None:
+                            # one-hot has zero pad rows/cols: output
+                            # pad lanes come out exactly 0
                             dense = jnp.dot(
                                 dense.astype(dtype), sel[:, :],
                                 preferred_element_type=jnp.float32)
+                        elif swp != sw:
+                            # zero the pad lanes at store so stats and
+                            # downstream reads stay clean
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, dense.shape, 1)
+                            dense = jnp.where(lane < sw, dense, 0.0)
                         rowq = dense.astype(dtype)
                         ob[oslot, rl, :, :] = rowq
                         r32 = rowq.astype(jnp.float32)
@@ -614,8 +663,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                 acc = None
                                 for wi, (cs, sws) in enumerate(src_dims):
                                     win = vrefs[scr["wins"][wi][0]]
+                                    swp_s = win.shape[-1]
                                     rhs = win[slot, pl.ds(il + da, 2),
-                                              :, :].reshape(2 * cs, sws)
+                                              :, :].reshape(2 * cs,
+                                                            swp_s)
                                     for kb in range(2):
                                         Lk = Ls[wi * 8 + da * 4
                                                 + db * 2 + kb]
@@ -624,10 +675,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                             preferred_element_type=jnp.float32)
                                         sh = db + kb - 1
                                         if sh == 1:
-                                            yk = pltpu.roll(yk, sws - 1,
-                                                            axis=1)
+                                            yk = _wrap_roll(yk, sws - 1,
+                                                            sws)
                                         elif sh == -1:
-                                            yk = pltpu.roll(yk, 1, axis=1)
+                                            yk = _wrap_roll(yk, 1, sws)
                                         acc = (yk if acc is None
                                                else acc + yk)
                                 parts.append(acc + bias[:, :])

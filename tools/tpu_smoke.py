@@ -8,11 +8,15 @@ Order: cheapest/most-proven first, so a failure pinpoints the culprit
 without wading through compiles.
 """
 
+import os
 import sys
 import time
 import traceback
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 FAST = "--fast" in sys.argv
 
