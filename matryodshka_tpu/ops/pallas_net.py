@@ -263,11 +263,14 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     assert w == wpad(w), ("input/output width must be 128-aligned "
                           "(internal stages pad automatically)", w)
 
-    hbm_scratch = []
+    # Mosaic rejects HBM *scratch* ("Scratch memref allocation only
+    # supported for vmem, smem and semaphore_mem"), so the activation
+    # buffers are EXTRA OUTPUTS in ANY space instead — same HBM
+    # residency, just plumbed through out_shape and discarded.
+    hbm_out_shapes = []
     for n in buf_names[1:]:                       # x is an operand
         pad, rows, c, ww, wp = bufs_meta[n]
-        hbm_scratch.append(
-            pltpu.HBM((rows + 2 * pad, c, wp), dtype))
+        hbm_out_shapes.append(((rows + 2 * pad, c, wp), dtype))
 
     # Per-stage VMEM window/band scratch. Window = input rows needed for
     # one band of output rows (+1 spare slot for double buffering when
@@ -360,7 +363,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         hbufs = {n: refs[total_ops + 1 + i]
                  for i, n in enumerate(buf_names[1:])}
         hbufs["x"] = ops[0]
-        base = total_ops + 1 + len(buf_names) - 1
+        base = total_ops + 1 + (len(buf_names) - 1)
         vrefs = list(refs[base:base + len(vmem_scratch)])
         stats = refs[base + len(vmem_scratch)]
         sem = refs[base + len(vmem_scratch) + 1]
@@ -721,10 +724,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 stage(si, name, kind, srcs, cins, cout, outd, rate,
                       row_fn)
 
-    scratch = (hbm_scratch + vmem_scratch
+    scratch = (vmem_scratch
                + [pltpu.SMEM((len(plan), 2), jnp.float32),
                   pltpu.SemaphoreType.DMA((n_sems,))])
-    return kernel, scratch, total_ops, vmem_bytes
+    return kernel, scratch, total_ops, hbm_out_shapes, vmem_bytes
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -732,21 +735,25 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 def _forward(operands, h: int, w: int, ngf: int, cin0: int,
              num_outputs: int, interpret: bool = False) -> Array:
     dtype = operands[0].dtype
-    kernel, scratch, total_ops, _ = _build_kernel(
+    kernel, scratch, total_ops, hbm_out_shapes, _ = _build_kernel(
         h, w, ngf, cin0, num_outputs, dtype)
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)]
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                 * (total_ops - 1))
-    return pl.pallas_call(
+    out_shape = ([jax.ShapeDtypeStruct((h, num_outputs, w), jnp.float32)]
+                 + [jax.ShapeDtypeStruct(shp, dt)
+                    for shp, dt in hbm_out_shapes])
+    outs = pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((h, num_outputs, w), jnp.float32),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+    return outs[0]
 
 
 def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
