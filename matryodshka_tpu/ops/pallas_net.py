@@ -146,22 +146,26 @@ def _interleave_expand(w_half: int, parity: int, dtype):
     return jnp.asarray(s, dtype=dtype)
 
 
-def _wrap_roll(y, amt: int, wlog: int):
-    """Circular roll over the first `wlog` lanes of a possibly
-    lane-padded array: z[j] = y[(j - amt) mod wlog] for j < wlog (pad
-    lanes undefined). One native roll when unpadded; two rolls + a
-    lane select when padded — never READS pad lanes, so garbage there
-    stays contained."""
+def _wrap_roll(y, amt: int, wlog: int, slotw: int = None):
+    """Circular roll over the first `wlog` lanes of each `slotw`-lane
+    slot (slotw defaults to the whole lane dim): within every slot,
+    z[j] = y[(j - amt) mod wlog] for j < wlog; pad lanes undefined.
+    One native roll when unpadded; two rolls + a lane select otherwise
+    — never READS pad lanes, so garbage there stays contained. The
+    slot form services the lane-PACKED deep layers (R rows side by
+    side, each wrapping independently)."""
     wp = y.shape[-1]
+    slotw = wp if slotw is None else slotw
     t = amt % wlog
     if t == 0:
         return y
     if wp == wlog:
         return pltpu.roll(y, t, axis=1)
     a = pltpu.roll(y, t, axis=1)
-    b = pltpu.roll(y, t + wp - wlog, axis=1)
+    b = pltpu.roll(y, (t - wlog) % wp, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-    return jnp.where(lane < t, b, a)
+    lane_in = lane % slotw if slotw != wp else lane
+    return jnp.where(lane_in < t, b, a)
 
 
 def prepare_params(flax_params: Dict, ngf: int, cin0: int,
@@ -225,10 +229,13 @@ def static_operands(w: int, dtype=jnp.bfloat16) -> List[Array]:
 _EPS = 1e-12
 
 
+_ROW_BAND = 16   # 20/32 exceed the 128M VMEM cap with the window set
+
+
 def _row_band(rows: int) -> int:
-    """Output rows per band: 16 divides every production row count
-    (320/160/80/40); tiny test shapes band by whatever divides."""
-    for rb in (16, 8, 4, 2, 1):
+    """Output rows per band; tiny test shapes band by whatever
+    divides."""
+    for rb in (_ROW_BAND, 16, 8, 4, 2, 1):
         if rows % rb == 0:
             return rb
     return 1
@@ -329,6 +336,17 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         scr["oband"] = obi
         scr["oslots"] = oslots
         scr["ob_sems"] = osi
+        # Lane packing for narrow stride-1 convs: R rows side by side
+        # push the GEMM N from the padded width (128/256) to ~1024,
+        # where the MXU rate more than doubles (N-rate wall).
+        scr["pack"] = 1
+        if kind == "conv" and srcs[0] != "x":
+            wp_in = bufs_meta[srcs[0]][4]
+            r_pack = min(1024 // wp_in, rb)
+            if r_pack > 1 and rb % r_pack == 0:
+                scr["pack"] = r_pack
+                (pi, _) = add_vmem((3 * cins[0], r_pack * wp_in), dtype)
+                scr["pack_rhs"] = pi
         stage_scr.append(scr)
 
     # Exact-shaped zero buffers per distinct (C, W): DMA lane slices
@@ -581,6 +599,60 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 sw = bufs_meta[srcs[0]][3]
                 sel = selector(sw) if kind == "down" else None
                 vref_i = scr["wins"][0][0]
+                r_pack = scr["pack"]
+
+                if r_pack > 1:
+                    def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
+                               L1=L1, L2=L2, bias=bias, rate=rate,
+                               sc=sc, sw=sw, si=si, rb=rb,
+                               r_pack=r_pack, ob_i=scr["oband"],
+                               pack_i=scr["pack_rhs"]):
+                        win = vrefs[vref_i]
+                        ob = vrefs[ob_i]
+                        rhsb = vrefs[pack_i]
+                        swp = win.shape[-1]
+
+                        def one(rp, _):
+                            base = rp * r_pack
+                            for dy in range(3):
+                                for k in range(r_pack):
+                                    rhsb[dy * sc:(dy + 1) * sc,
+                                         k * swp:(k + 1) * swp] = \
+                                        win[slot,
+                                            base + k + dy * rate, :, :]
+                            rhs = rhsb[:, :]
+                            y0 = jnp.dot(
+                                L0[:, :], rhs,
+                                preferred_element_type=jnp.float32)
+                            y1 = jnp.dot(
+                                L1[:, :], rhs,
+                                preferred_element_type=jnp.float32)
+                            y2 = jnp.dot(
+                                L2[:, :], rhs,
+                                preferred_element_type=jnp.float32)
+                            dense = (_wrap_roll(y0, rate, sw, swp) + y1
+                                     + _wrap_roll(y2, sw - rate, sw,
+                                                  swp)
+                                     + bias[:, :])
+                            if swp != sw:
+                                lane = jax.lax.broadcasted_iota(
+                                    jnp.int32, dense.shape, 1) % swp
+                                dense = jnp.where(lane < sw, dense, 0.0)
+                            rowq = dense.astype(dtype)
+                            for k in range(r_pack):
+                                ob[oslot, base + k, :, :] = \
+                                    rowq[:, k * swp:(k + 1) * swp]
+                            r32 = rowq.astype(jnp.float32)
+                            stats[si, 0] = stats[si, 0] + jnp.sum(r32)
+                            stats[si, 1] = (stats[si, 1]
+                                            + jnp.sum(r32 * r32))
+                            return 0
+
+                        jax.lax.fori_loop(0, rb // r_pack, one, 0)
+
+                    stage(si, name, kind, srcs, cins, cout, outd, rate,
+                          row_fn)
+                    continue
 
                 def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0, L1=L1,
                            L2=L2, bias=bias, stride=stride, rate=rate,

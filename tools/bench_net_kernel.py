@@ -9,7 +9,10 @@ dependencies — per-dispatch relay RTT would otherwise dominate) and the
 kernel-vs-flax output delta.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
