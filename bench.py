@@ -57,7 +57,8 @@ def main():
             xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
                             cfg.width), cfg.jnp_compute_dtype)
             jax.block_until_ready(pallas_net.unet_forward(
-                xp, fused_net[0], fused_net[1], fused_net[2]))
+                xp, fused_net[0], fused_net[1], fused_net[2],
+                flipped=fused_net[3]))
             print("[bench] fused net kernel: ok", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — any compile failure
             print(f"[bench] fused net kernel unavailable ({type(e).__name__}: "
@@ -155,15 +156,18 @@ def main():
 
             @jax.jit
             def net_fused(fgF, bgF):
+                net_ops, ngf, k, flipped = fused_net
+
                 def _rm(v):
                     p_, c_, h_, w_ = v.shape
-                    u = jnp.flip(v, axis=3).reshape(p_ * c_, h_, w_)
+                    u = v if flipped else jnp.flip(v, axis=3)
+                    u = u.reshape(p_ * c_, h_, w_)
                     return jnp.transpose(u, (1, 0, 2))
                 x_rm = jnp.concatenate([_rm(fgF[0]), _rm(bgF[0])],
                                        axis=1)
-                net_ops, ngf, k = fused_net
                 return pallas_net.unet_forward(
-                    x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k)
+                    x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
+                    flipped=flipped)
 
         @jax.jit
         def assemble_render(msi_pred, fgF, bgF, tgt_pose):

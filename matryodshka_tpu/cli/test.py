@@ -39,7 +39,7 @@ def fused_net_available(cfg: MatryConfig, model, params) -> bool:
         xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
                         cfg.width), cfg.jnp_compute_dtype)
         jax.block_until_ready(pallas_net.unet_forward(
-            xp, fused[0], fused[1], fused[2]))
+            xp, fused[0], fused[1], fused[2], flipped=fused[3]))
         return True
     except Exception:  # noqa: BLE001
         return False

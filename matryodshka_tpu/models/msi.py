@@ -143,7 +143,10 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
       msi_pred: [H, W, K] tanh outputs (UNflipped, channel-minor;
         pred_layout="hwk"), or [H, K, W] row-major (the whole-net
         Pallas kernel's native output; pred_layout="hkw" — only a
-        cheap leading-dim swap away from the [K, H, W] this needs).
+        cheap leading-dim swap away from the [K, H, W] this needs),
+        or [H, K, W] already W-FLIPPED (the flipped-operand net
+        kernel, pallas_net.prepare_params(flipped=True);
+        pred_layout="hkwF" — zero flip cost, pure transpose).
       fgF, bgF: [P, 3, H, W] flipped plane-major sweeps (ref, src eye).
     Returns dict:
       prepared: [P, 4, H+2*pad, W] flipped + row-wrap-padded (dtype or
@@ -161,7 +164,9 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
     pad = geom["pad"]
     dtype = fgF.dtype if dtype is None else dtype
 
-    if pred_layout == "hkw":
+    if pred_layout == "hkwF":
+        predF = jnp.transpose(msi_pred, (1, 0, 2))        # already flipped
+    elif pred_layout == "hkw":
         predF = jnp.flip(jnp.transpose(msi_pred, (1, 0, 2)), axis=2)
     else:
         predF = jnp.flip(jnp.transpose(msi_pred, (2, 0, 1)),
@@ -321,18 +326,25 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
     return outputs
 
 
-def fused_net_ops(model, params, cfg: MatryConfig):
+def fused_net_ops(model, params, cfg: MatryConfig, flipped: bool = True):
     """Kernel operands for the whole-net Pallas kernel, or None when
     the fused net doesn't apply (CoordNet/GCN variants keep the XLA
-    net). Cache the result — it's pure weight repacking."""
+    net). Cache the result — it's pure weight repacking.
+
+    flipped=True (default) prepares the HORIZONTALLY-FLIPPED net
+    (pallas_net.prepare_params docstring): the sweep kernel's natively
+    W-flipped volumes feed the kernel with zero XLA flip passes and the
+    prediction comes out pre-flipped for assemble_rgba_prepared
+    (pred_layout="hkwF"). Returns (ops, ngf, k, flipped)."""
     from matryodshka_tpu.ops import pallas_net
     if cfg.coord_net or cfg.gcn:
         return None
     k = cfg.num_net_outputs()
     cin0 = 2 * cfg.num_psv_planes * 3
     ops = pallas_net.prepare_params(params, cfg.ngf, cin0, k,
-                                    dtype=cfg.jnp_compute_dtype)
-    return (ops, cfg.ngf, k)
+                                    dtype=cfg.jnp_compute_dtype,
+                                    flipped=flipped)
+    return (ops, cfg.ngf, k, flipped)
 
 
 def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
@@ -366,11 +378,15 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         # channel-minor net_input is never materialized; XLA DCEs it
         # when unused), emits pred in [H, K, W].
         from matryodshka_tpu.ops import pallas_net
-        net_ops, ngf, k = fused_net
+        net_ops, ngf, k, flipped = fused_net
 
         def _rm(v):
+            # flipped operands consume the sweep's native W-flip as-is:
+            # the only remaining layout cost is the leading-dims
+            # transpose (no flip pass).
             p_, c_, h_, w_ = v.shape
-            u = jnp.flip(v, axis=3).reshape(p_ * c_, h_, w_)
+            u = v if flipped else jnp.flip(v, axis=3)
+            u = u.reshape(p_ * c_, h_, w_)
             return jnp.transpose(u, (1, 0, 2))
 
         preds = []
@@ -378,9 +394,9 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
             x_rm = jnp.concatenate([_rm(fgF[i]), _rm(bgF[i])], axis=1)
             preds.append(pallas_net.unet_forward(
                 x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
-                interpret=interpret))
+                interpret=interpret, flipped=flipped))
         msi_pred = jnp.stack(preds)          # [B, H, K, W]
-        pred_layout = "hkw"
+        pred_layout = "hkwF" if flipped else "hkw"
     else:
         msi_pred = apply_fn(params, net_input)
         pred_layout = "hwk"

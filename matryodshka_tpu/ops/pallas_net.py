@@ -130,11 +130,14 @@ def _wp(w: int) -> int:
     return max(128, 128 * -(-w // 128))
 
 
-def _even_select(w: int, dtype):
+def _even_select(w: int, dtype, parity: int = 0):
     """One-hot [Wp(w), Wp(w/2)] selecting even LOGICAL lanes:
-    (x @ S)[c] = x[2c] for c < w/2, 0 in pad lanes (keeps pads clean)."""
+    (x @ S)[c] = x[2c + parity] for c < w/2, 0 in pad lanes (keeps pads
+    clean). parity=1 serves the FLIPPED net (see prepare_params): on a
+    horizontally flipped row the stride-2 centers sit at odd columns
+    (jF = W-1-j maps even j to odd jF for even W)."""
     s = np.zeros((_wp(w), _wp(w // 2)), np.float32)
-    s[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    s[np.arange(parity, w, 2), np.arange(w // 2)] = 1.0
     return jnp.asarray(s, dtype=dtype)
 
 
@@ -169,13 +172,31 @@ def _wrap_roll(y, amt: int, wlog: int, slotw: int = None):
 
 
 def prepare_params(flax_params: Dict, ngf: int, cin0: int,
-                   num_outputs: int, dtype=jnp.bfloat16) -> List[Array]:
+                   num_outputs: int, dtype=jnp.bfloat16,
+                   flipped: bool = False) -> List[Array]:
     """Flax MSIUNet (variant='wrap') param tree -> flat kernel operands.
 
     Per layer: conv/down -> [L0, L1, L2 ([cout, 3cin] dx-grouped), bias,
     gamma, beta]; deconv -> per source s, per (da, db, kb) the lhs
     [cout, 2*cin_s] (ka merged into K, subpixel identity of
     models/unet.py:124-131), then bias, gamma, beta; head -> [L, bias].
+
+    flipped=True prepares the HORIZONTALLY-FLIPPED net: with these
+    operands (and flipped=True selectors from static_operands) the
+    UNCHANGED kernel satisfies net_flipped(flip_W(x)) == flip_W(net(x)),
+    so the sweep kernel's natively-flipped row-major volume feeds the
+    net with no XLA flip/transpose pass, and the prediction comes out
+    pre-flipped for assemble_rgba_prepared. Derivation (formal, and
+    pinned by tests/test_pallas_net.py::test_flipped_mode):
+      conv:   out[j] = sum_dx w_dx x[j+dx-1]; on flipped inputs the
+              same roll structure needs the dx order reversed -> swap
+              L0 <-> L2 (rate-2 dilated convs: identical argument).
+      down:   flipped stride-2 centers sit at odd columns -> parity-1
+              selector.
+      deconv: out[2c+db] = sum_kb L[da,db,kb] x[c+db+kb-1]; substituting
+              j -> flipped gives L'[da,db,kb] = L[da,1-db,1-kb] with the
+              sh = db+kb-1 rolls and the e0/e1 expanders unchanged.
+      head:   1x1, unaffected.
     """
     p = flax_params["params"] if "params" in flax_params else flax_params
     ops: List[Array] = []
@@ -184,15 +205,18 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
         lp = p[name]
         k = jnp.asarray(lp["kernel"])
         if kind in ("conv", "down"):
-            ops += _conv_lhs(k, dtype)
+            lhs = _conv_lhs(k, dtype)
+            ops += lhs[::-1] if flipped else lhs
         elif kind == "deconv":
             off = 0
             for cs in cins:
                 ks = k[:, :, off:off + cs]
                 off += cs
                 for da in range(2):
-                    for db in range(2):
-                        for kb in range(2):
+                    for db_s in range(2):
+                        for kb_s in range(2):
+                            db = 1 - db_s if flipped else db_s
+                            kb = 1 - kb_s if flipped else kb_s
                             # L[o, ka*cs + c] = k[da+2ka, db+2kb, c, o]
                             sub = jnp.stack(
                                 [jnp.transpose(ks[da + 2 * ka, db + 2 * kb],
@@ -212,10 +236,14 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
     return ops
 
 
-def static_operands(w: int, dtype=jnp.bfloat16) -> List[Array]:
+def static_operands(w: int, dtype=jnp.bfloat16,
+                    flipped: bool = False) -> List[Array]:
     """One-hot stride-select / interleave-expand constants (appended
-    after the params in the operand list)."""
-    out = [_even_select(ww, dtype) for ww in (w, w // 2, w // 4)]
+    after the params in the operand list). flipped selects the odd
+    stride-2 phase (see prepare_params); the expanders are unchanged
+    under flip."""
+    par = 1 if flipped else 0
+    out = [_even_select(ww, dtype, par) for ww in (w, w // 2, w // 4)]
     for wh in (w // 8, w // 4, w // 2):
         out.append(_interleave_expand(wh, 0, dtype))
         out.append(_interleave_expand(wh, 1, dtype))
@@ -829,12 +857,17 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
 
 
 def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
-                 num_outputs: int, interpret: bool = False) -> Array:
+                 num_outputs: int, interpret: bool = False,
+                 flipped: bool = False) -> Array:
     """x_row_major: [H, C0, W] (bf16 recommended). Returns the tanh'd
     prediction in ROW-MAJOR [H, num_outputs, W] float32 (the transposed
-    layout the prepared-assemble path wants)."""
+    layout the prepared-assemble path wants).
+
+    flipped: params_ops came from prepare_params(flipped=True) and
+    x_row_major is the W-FLIPPED input; the output is then the W-flipped
+    prediction."""
     h, c0, w = x_row_major.shape
     ops = ([x_row_major] + list(params_ops)
-           + static_operands(w, x_row_major.dtype))
+           + static_operands(w, x_row_major.dtype, flipped))
     return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=c0,
                     num_outputs=num_outputs, interpret=interpret)

@@ -39,6 +39,24 @@ def test_kernel_matches_flax_f32():
                                rtol=0, atol=5e-5)
 
 
+def test_flipped_mode_matches_flax_f32():
+    """Flipped-operand net on W-flipped input == W-flipped flax output.
+
+    This is the contract that lets the sweep kernel's natively-flipped
+    row-major volume feed the net with zero XLA flip/transpose passes
+    (prepare_params docstring has the derivation)."""
+    model, params, x = _setup(jnp.float32)
+    ref = model.apply(params, x)                     # [1, H, W, K]
+    ops = pallas_net.prepare_params(params, NGF, CIN0, NOUT,
+                                    dtype=jnp.float32, flipped=True)
+    xrF = jnp.flip(jnp.transpose(x[0], (0, 2, 1)), axis=2)
+    got = pallas_net.unet_forward(xrF.astype(jnp.float32), ops, NGF,
+                                  NOUT, interpret=True, flipped=True)
+    got_hwk = jnp.flip(jnp.transpose(got, (0, 2, 1)), axis=1)
+    np.testing.assert_allclose(np.asarray(got_hwk), np.asarray(ref[0]),
+                               rtol=0, atol=5e-5)
+
+
 def test_kernel_matches_flax_bf16():
     model, params, x = _setup(jnp.bfloat16)
     ref = model.apply(params, x)

@@ -49,7 +49,7 @@ def main():
     cap_pad = render_geo._cap_band_pad(h, w, cap)
 
     fused = msi_lib.fused_net_ops(model, state.params, cfg)
-    net_ops, ngf, k = fused
+    net_ops, ngf, k, net_flipped = fused
     net_ops = [jnp.asarray(o) for o in net_ops]
 
     CHAIN = 20
@@ -75,7 +75,8 @@ def main():
 
     def _rm(v):
         p_, c_, hh, ww = v.shape
-        u = jnp.flip(v, axis=3).reshape(p_ * c_, hh, ww)
+        u = v if net_flipped else jnp.flip(v, axis=3)
+        u = u.reshape(p_ * c_, hh, ww)
         return jnp.transpose(u, (1, 0, 2))
 
     x_rm = jax.jit(lambda a, b: jnp.concatenate(
@@ -84,12 +85,12 @@ def main():
     x_rm = jax.block_until_ready(x_rm)
 
     pred_rm = jax.jit(lambda x: pallas_net.unet_forward(
-        x, net_ops, ngf, k))(x_rm)
+        x, net_ops, ngf, k, flipped=net_flipped))(x_rm)
     pred_rm = jax.block_until_ready(pred_rm)
 
     prep = jax.jit(lambda pr, a, b: msi_lib.assemble_rgba_prepared(
         cfg.which_color_pred, pr, a[0], b[0], p, cap_pad=cap_pad,
-        dtype=cfg.jnp_compute_dtype, pred_layout="hkw"))(pred_rm, fgF, bgF)
+        dtype=cfg.jnp_compute_dtype, pred_layout="hkwF" if net_flipped else "hkw"))(pred_rm, fgF, bgF)
     prep = jax.block_until_ready(prep)
 
     pose = jnp.eye(4)
@@ -135,7 +136,8 @@ def main():
     @jax.jit
     def net_chain(x):
         def body(_, xx):
-            y = pallas_net.unet_forward(xx, net_ops, ngf, k)
+            y = pallas_net.unet_forward(xx, net_ops, ngf, k,
+                                        flipped=net_flipped)
             x2 = jnp.tile(y[:, :64, :], (1, 3, 1)).astype(x.dtype)
             return x2 * 0.1 + xx * 0.9
         return jax.lax.fori_loop(0, CHAIN, body, x)
@@ -148,7 +150,7 @@ def main():
             d = msi_lib.assemble_rgba_prepared(
                 cfg.which_color_pred, pp, fgF[0], bgF[0], p,
                 cap_pad=cap_pad, dtype=cfg.jnp_compute_dtype,
-                pred_layout="hkw")
+                pred_layout="hkwF" if net_flipped else "hkw")
             return pp * 0.999 + d["prepared"].astype(
                 jnp.float32).mean() * 1e-6
         return jax.lax.fori_loop(0, CHAIN, body, pr)
@@ -202,7 +204,7 @@ def main():
             d = msi_lib.assemble_rgba_prepared(
                 cfg.which_color_pred, pp, fgF[0], bgF[0], p,
                 cap_pad=cap_pad, dtype=cfg.jnp_compute_dtype,
-                pred_layout="hkw")
+                pred_layout="hkwF" if net_flipped else "hkw")
             outs = {kk: vv[None] for kk, vv in d.items()}
             eye = jnp.eye(4)[None]
             img = msi_lib.render_equirect_view_from_prepared(
