@@ -96,11 +96,13 @@ def _band_geometry(cap: int, row_block: int, kv_max: int):
 
 
 def _residual_tables(u: Array, v: Array, cap: int, row_block: int,
-                     kh_max: int, kv_max: int):
-    """Integer rung bounds per (plane, row-block) from the uv field.
+                     kh_max: int, kv_max: int, wb: int = None):
+    """Integer rung bounds per (plane, row-block[, column-tile]) from the
+    uv field.
 
-    u, v: [P, Hm, W] (mid rows only). Returns int32 [P, NBLK] x4. The
-    kernel recomputes the per-pixel residual fields from u, v in VMEM --
+    u, v: [P, Hm, W] (mid rows only). Returns int32 [P, NBLK] x4 (or
+    [P, NBLK, NT] x4 when `wb` column-tiles the width). The kernel
+    recomputes the per-pixel residual fields from u, v in VMEM --
     passing them would double HBM traffic.
     """
     p, hm, w = u.shape
@@ -111,12 +113,19 @@ def _residual_tables(u: Array, v: Array, cap: int, row_block: int,
     dk = dk_raw - w * jnp.floor((dk_raw + w / 2.0) / w)
     dk = jnp.clip(dk, -kh_max, kh_max)
     dy = jnp.clip(jnp.floor(v) - i, -kv_max, kv_max)
-    dk = dk.reshape(p, nblk, row_block, w)
-    dy = dy.reshape(p, nblk, row_block, w)
-    klo = jnp.min(dk, axis=(2, 3)).astype(jnp.int32)
-    khi = jnp.max(dk, axis=(2, 3)).astype(jnp.int32)
-    mlo = jnp.min(dy, axis=(2, 3)).astype(jnp.int32)
-    mhi = jnp.max(dy, axis=(2, 3)).astype(jnp.int32)
+    if wb is None:
+        dk = dk.reshape(p, nblk, row_block, w)
+        dy = dy.reshape(p, nblk, row_block, w)
+        red = (2, 3)
+    else:
+        nt = w // wb
+        dk = dk.reshape(p, nblk, row_block, nt, wb)
+        dy = dy.reshape(p, nblk, row_block, nt, wb)
+        red = (2, 4)
+    klo = jnp.min(dk, axis=red).astype(jnp.int32)
+    khi = jnp.max(dk, axis=red).astype(jnp.int32)
+    mlo = jnp.min(dy, axis=red).astype(jnp.int32)
+    mhi = jnp.max(dy, axis=red).astype(jnp.int32)
     return klo, khi, mlo, mhi
 
 
@@ -260,25 +269,185 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
     jax.lax.fori_loop(0, nblk, block_body, 0)
 
 
+def _pack_tables(klo, khi, mlo, mhi):
+    """Pack the 4 int32 bound tables into 2 (16-bit biased fields).
+
+    The tiled kernel's tables are [P, NBLK, NT] -- 4 of them at P=32
+    overflow the SMEM scalar-prefetch budget (the TPU compile helper
+    crashes outright; P<=16 compiles). Bias-32768 fields keep the
+    decode sign-free: x >> 16 is arithmetic on int32, so the decode
+    masks with & 0xFFFF before un-biasing."""
+    b = 1 << 15
+    kt = (klo + b) | ((khi + b) << 16)
+    mt = (mlo + b) | ((mhi + b) << 16)
+    return kt.astype(jnp.int32), mt.astype(jnp.int32)
+
+
+def _unpack2(t):
+    b = 1 << 15
+    lo = (t & 0xFFFF) - b
+    hi = ((t >> 16) & 0xFFFF) - b
+    return lo, hi
+
+
+def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
+                         uv_ref, out_ref, rolled_ref, cvs_ref, acc_ref, *,
+                         h_mid: int, width: int, wb: int, cap: int,
+                         row_block: int, kh_max: int, kv_max: int,
+                         abs_row0: int = None, band_origin: int = None):
+    """Column-tiled variant of _render_kernel: each row block is split
+    into width/wb tiles of `wb` lanes. Within a 128-lane tile both the
+    horizontal-rung span (khi-klo) and the vertical-tap span collapse
+    ~3-4x vs the full-width block (du/dv vary azimuthally across the
+    row), cutting the dominant per-rung FMA volume by the same factor
+    (measured 2687 -> 756 Mlanes at the bench pose, /tmp colstats).
+
+    Mechanics per (block, tile): the roll buffer holds the tile plus a
+    wb-lane halo each side ([4, band, 3*wb]; halo copies make the ERP
+    wrap exact as long as |k| <= wb, guaranteed by kh_max + 2 <= wb).
+    One DYNAMIC rotate (tpu.dynamic_rotate takes traced shifts --
+    probed on hardware, tools/exp_dynroll.py) seeds the walk at rung
+    klo-1, then exactly khi-klo+2 roll-by-1 rungs run -- no re-seed,
+    no zero-mask rungs (per-tile dk ranges do NOT straddle 0: a tile
+    near longitude 0 sees only positive parallax). Taps read the
+    lane-tile-aligned center [wb, 2*wb). Tables are per-(p, blk, tile).
+    """
+    p = pl.program_id(0)
+    nblk = h_mid // row_block
+    nt = width // wb
+    tw = 3 * wb
+    band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    if abs_row0 is None:
+        abs_row0 = cap
+    if band_origin is None:
+        band_origin = -pad
+    assert (abs_row0 - band_lead - band_origin) % 8 == 0, (
+        abs_row0, band_lead, band_origin)
+
+    def block_body(blk, _):
+        base = blk * row_block
+        bs = pl.multiple_of(abs_row0 + base - band_lead - band_origin, 8)
+        i_abs_col = (jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, wb), 0).astype(jnp.float32)
+            + (abs_row0 + base).astype(jnp.float32))
+        for t in range(nt):
+            c0 = t * wb
+            u = uv_ref[0, 0, pl.ds(base, row_block), c0:c0 + wb]
+            v = uv_ref[0, 1, pl.ds(base, row_block), c0:c0 + wb]
+            j = (jax.lax.broadcasted_iota(
+                jnp.int32, (row_block, wb), 1).astype(jnp.float32)
+                + float(c0))
+            x0f = jnp.floor(u)
+            fx = u - x0f
+            dk_raw = (width - 1.0) - x0f - j
+            dk = dk_raw - width * jnp.floor(
+                (dk_raw + width / 2.0) / width)
+            dk = jnp.clip(dk, -kh_max, kh_max)
+            y0f = jnp.floor(v)
+            fy = v - y0f
+            dy = jnp.clip(y0f - i_abs_col, -kv_max, kv_max)
+
+            klo, khi = _unpack2(kt_ref[p, blk, t])
+            mlo, mhi = _unpack2(mt_ref[p, blk, t])
+
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= mlo) & (m <= mhi + 1))
+                def _(mi=mi, m=m):
+                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                         + fy * (dy == m - 1))
+
+            acc_ref[:, :, :] = jnp.zeros((4, row_block, wb),
+                                         acc_ref.dtype)
+
+            # Seed the halo buffer (all slices static and lane-aligned;
+            # edge tiles wrap around the ERP seam in two pieces).
+            lo = c0 - wb
+            if lo < 0:
+                rolled_ref[:, :, 0:wb] = layer_ref[
+                    0, :, pl.ds(bs, band), width - wb:width].astype(
+                        jnp.float32)
+                rolled_ref[:, :, wb:tw] = layer_ref[
+                    0, :, pl.ds(bs, band), 0:2 * wb].astype(jnp.float32)
+            elif c0 + 2 * wb > width:
+                rolled_ref[:, :, 0:2 * wb] = layer_ref[
+                    0, :, pl.ds(bs, band), lo:lo + 2 * wb].astype(
+                        jnp.float32)
+                rolled_ref[:, :, 2 * wb:tw] = layer_ref[
+                    0, :, pl.ds(bs, band), 0:wb].astype(jnp.float32)
+            else:
+                rolled_ref[:, :, :] = layer_ref[
+                    0, :, pl.ds(bs, band), lo:lo + tw].astype(
+                        jnp.float32)
+
+            k0 = klo - 1
+            seed = jax.lax.rem(jnp.int32(tw) - k0, jnp.int32(tw))
+            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], seed,
+                                             axis=2)
+
+            def walk(step, _):
+                kf = (k0 + step).astype(jnp.float32)
+                ch = (1.0 - fx) * (dk == kf) + fx * (dk == kf + 1.0)
+                for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                    @pl.when((m >= mlo) & (m <= mhi + 1))
+                    def _(mi=mi, m=m):
+                        coef = ch * cvs_ref[mi, :, :]
+                        tap = rolled_ref[:, band_lead + m:
+                                         band_lead + m + row_block,
+                                         wb:2 * wb]
+                        acc_ref[:, :, :] = (acc_ref[:, :, :]
+                                            + (coef[None] * tap).astype(
+                                                acc_ref.dtype))
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 tw - 1, axis=2)
+                return 0
+
+            jax.lax.fori_loop(0, khi - k0 + 1, walk, 0)
+
+            rgb = acc_ref[0:3, :, :].astype(jnp.float32)
+            alpha = acc_ref[3:4, :, :].astype(jnp.float32)
+
+            @pl.when(p == 0)
+            def _():
+                out_ref[:, pl.ds(base, row_block), c0:c0 + wb] = rgb
+
+            @pl.when(p > 0)
+            def _():
+                prev = out_ref[:, pl.ds(base, row_block), c0:c0 + wb]
+                out_ref[:, pl.ds(base, row_block), c0:c0 + wb] = (
+                    rgb * alpha + prev * (1.0 - alpha))
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block_body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
-                                             "kv_max", "interpret"))
+                                             "kv_max", "wb", "interpret"))
 def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
                        cap: int, row_block: int, kh_max: int, kv_max: int,
+                       wb: int = None,
                        interpret: bool = False) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W] f32; uvm: [P, 2, Hm, W].
-    Returns the composited mid rows [Hm, W, 3]."""
+    wb: column-tile width (None = full-width blocks). Returns the
+    composited mid rows [Hm, W, 3]."""
     p, c, hpad, w = layers_flipped_padded.shape
     hm = uvm.shape[2]
     assert c == 4 and hm % row_block == 0, (c, hm, row_block)
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
     assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
     mv = 2 * kv_max + 2
+    if wb is not None:
+        assert w % wb == 0 and wb % 128 == 0 and kh_max + 2 <= wb, (
+            w, wb, kh_max)
 
     klo, khi, mlo, mhi = _residual_tables(
-        uvm[:, 0], uvm[:, 1], cap, row_block, kh_max, kv_max)
+        uvm[:, 0], uvm[:, 1], cap, row_block, kh_max, kv_max, wb=wb)
+    if wb is None:
+        tables = (klo, khi, mlo, mhi)
+    else:
+        tables = _pack_tables(klo, khi, mlo, mhi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(tables),
         grid=(p,),
         in_specs=[
             pl.BlockSpec((1, 4, hpad, w), lambda i, *_: (i, 0, 0, 0),
@@ -289,25 +458,34 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         out_specs=pl.BlockSpec((3, hm, w), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, band, w), jnp.float32),
-            pltpu.VMEM((mv, row_block, w), jnp.float32),
+            pltpu.VMEM((4, band, w if wb is None else 3 * wb),
+                       jnp.float32),
+            pltpu.VMEM((mv, row_block, w if wb is None else wb),
+                       jnp.float32),
             # f32 accumulator: a bf16 accumulator (tried) halves the
             # read-modify-write traffic but the per-FMA mixed-dtype
             # converts made the kernel NET SLOWER (54.7 -> 52.0 fps
             # e2e) — and costs the bit-close-to-gather guarantee.
-            pltpu.VMEM((4, row_block, w), jnp.float32),
+            pltpu.VMEM((4, row_block, w if wb is None else wb),
+                       jnp.float32),
         ],
     )
+    if wb is None:
+        kern = functools.partial(_render_kernel, h_mid=hm, width=w,
+                                 cap=cap, row_block=row_block,
+                                 kh_max=kh_max, kv_max=kv_max)
+    else:
+        kern = functools.partial(_render_kernel_tiled, h_mid=hm, width=w,
+                                 wb=wb, cap=cap, row_block=row_block,
+                                 kh_max=kh_max, kv_max=kv_max)
     out = pl.pallas_call(
-        functools.partial(_render_kernel, h_mid=hm, width=w, cap=cap,
-                          row_block=row_block, kh_max=kh_max,
-                          kv_max=kv_max),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(klo, khi, mlo, mhi, layers_flipped_padded, uvm)
+    )(*tables, layers_flipped_padded, uvm)
     return jnp.transpose(out, (1, 2, 0))
 
 

@@ -132,3 +132,24 @@ def test_chunked_render_matches_mid(cache_cvs):
         kh_max=14, kv_max=5, cache_cvs=cache_cvs, interpret=True)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(mid),
                                rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("pos", [[0.05, 0.0, 0.0], [0.0, 0.06, 0.0]])
+def test_column_tiled_mid_matches_fullwidth(pos):
+    """wb-column-tiled kernel (per-tile tables, halo buffer, dynamic
+    seed rotate) against the full-width kernel, f32-exact."""
+    rng = np.random.RandomState(2)
+    layers = _layers(rng)
+    radii = _radii()
+    uv = intersect.intersect_sphere(jnp.eye(4), jnp.asarray(pos), radii,
+                                    W, H)
+    cap, rb, kh, kv = 8, 8, 14, 5
+    lay = pallas_render.prepare_layers(layers, cap, rb, kv)
+    uvm = jnp.transpose(uv[:, cap:H - cap], (0, 3, 1, 2)).astype(
+        jnp.float32)
+    ref = pallas_render._ladder_render_mid(lay, uvm, cap, rb, kh, kv,
+                                           interpret=True)
+    got = pallas_render._ladder_render_mid(lay, uvm, cap, rb, kh, kv,
+                                           wb=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
