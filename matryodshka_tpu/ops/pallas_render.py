@@ -295,27 +295,26 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None):
-    """Column-tiled variant of _render_kernel: each row block is split
-    into width/wb tiles of `wb` lanes. Within a 128-lane tile both the
-    horizontal-rung span (khi-klo) and the vertical-tap span collapse
-    ~3-4x vs the full-width block (du/dv vary azimuthally across the
-    row), cutting the dominant per-rung FMA volume by the same factor
-    (measured 2687 -> 756 Mlanes at the bench pose, /tmp colstats).
+    """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
+    _render_kernel -- wide rolls are the efficient form, measured 1.78
+    cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
+    predicated per width/wb column tile. Within a 128-lane tile both
+    the horizontal-rung span (khi-klo) and the vertical-tap span
+    collapse ~3-4x vs the full-width block (du/dv vary azimuthally
+    across the row), so tiles skip rungs and vertical taps their own
+    residual range never touches: FMA volume drops 2687 -> 756 Mlanes
+    at the bench pose (measured e2e: 5.43 -> 4.72 ms at t=0.05x,
+    8.08 -> 6.25 ms at a diagonal pose; bit-exact vs _render_kernel).
 
-    Mechanics per (block, tile): the roll buffer holds the tile plus a
-    wb-lane halo each side ([4, band, 3*wb]; halo copies make the ERP
-    wrap exact as long as |k| <= wb, guaranteed by kh_max + 2 <= wb).
-    One DYNAMIC rotate (tpu.dynamic_rotate takes traced shifts --
-    probed on hardware, tools/exp_dynroll.py) seeds the walk at rung
-    klo-1, then exactly khi-klo+2 roll-by-1 rungs run -- no re-seed,
-    no zero-mask rungs (per-tile dk ranges do NOT straddle 0: a tile
-    near longitude 0 sees only positive parallax). Taps read the
-    lane-tile-aligned center [wb, 2*wb). Tables are per-(p, blk, tile).
+    A pure-tiled variant (halo buffers + dynamic seed rotates, see git
+    history) LOST: narrow-op inefficiency (2.4 c/l FMA, 3.3 c/l rolls)
+    cancelled the volume win. Tables are per-(p, blk, tile), 16-bit
+    packed (4 full [P,NBLK,NT] tables crash the TPU compile helper's
+    SMEM budget at P=32).
     """
     p = pl.program_id(0)
     nblk = h_mid // row_block
     nt = width // wb
-    tw = 3 * wb
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
     if abs_row0 is None:
         abs_row0 = cap
@@ -327,94 +326,99 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     def block_body(blk, _):
         base = blk * row_block
         bs = pl.multiple_of(abs_row0 + base - band_lead - band_origin, 8)
-        i_abs_col = (jax.lax.broadcasted_iota(
-            jnp.int32, (row_block, wb), 0).astype(jnp.float32)
+        u = uv_ref[0, 0, pl.ds(base, row_block), :]
+        v = uv_ref[0, 1, pl.ds(base, row_block), :]
+        j = jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, width), 1).astype(jnp.float32)
+        i_abs = (jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, width), 0).astype(jnp.float32)
             + (abs_row0 + base).astype(jnp.float32))
-        for t in range(nt):
-            c0 = t * wb
-            u = uv_ref[0, 0, pl.ds(base, row_block), c0:c0 + wb]
-            v = uv_ref[0, 1, pl.ds(base, row_block), c0:c0 + wb]
-            j = (jax.lax.broadcasted_iota(
-                jnp.int32, (row_block, wb), 1).astype(jnp.float32)
-                + float(c0))
-            x0f = jnp.floor(u)
-            fx = u - x0f
-            dk_raw = (width - 1.0) - x0f - j
-            dk = dk_raw - width * jnp.floor(
-                (dk_raw + width / 2.0) / width)
-            dk = jnp.clip(dk, -kh_max, kh_max)
-            y0f = jnp.floor(v)
-            fy = v - y0f
-            dy = jnp.clip(y0f - i_abs_col, -kv_max, kv_max)
+        x0f = jnp.floor(u)
+        fx = u - x0f
+        dk_raw = (width - 1.0) - x0f - j
+        dk = dk_raw - width * jnp.floor((dk_raw + width / 2.0) / width)
+        dk = jnp.clip(dk, -kh_max, kh_max)
+        y0f = jnp.floor(v)
+        fy = v - y0f
+        dy = jnp.clip(y0f - i_abs, -kv_max, kv_max)
 
-            klo, khi = _unpack2(kt_ref[p, blk, t])
-            mlo, mhi = _unpack2(mt_ref[p, blk, t])
+        bounds = [(_unpack2(kt_ref[p, blk, t]),
+                   _unpack2(mt_ref[p, blk, t])) for t in range(nt)]
+        gklo = functools.reduce(jnp.minimum, [k[0] for k, _ in bounds])
+        gkhi = functools.reduce(jnp.maximum, [k[1] for k, _ in bounds])
+        gmlo = functools.reduce(jnp.minimum, [m[0] for _, m in bounds])
+        gmhi = functools.reduce(jnp.maximum, [m[1] for _, m in bounds])
 
-            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-                @pl.when((m >= mlo) & (m <= mhi + 1))
-                def _(mi=mi, m=m):
-                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
-                                         + fy * (dy == m - 1))
+        for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+            @pl.when((m >= gmlo) & (m <= gmhi + 1))
+            def _(mi=mi, m=m):
+                cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                     + fy * (dy == m - 1))
 
-            acc_ref[:, :, :] = jnp.zeros((4, row_block, wb),
-                                         acc_ref.dtype)
+        acc_ref[:, :, :] = jnp.zeros((4, row_block, width),
+                                     acc_ref.dtype)
 
-            # Seed the halo buffer (all slices static and lane-aligned;
-            # edge tiles wrap around the ERP seam in two pieces).
-            lo = c0 - wb
-            if lo < 0:
-                rolled_ref[:, :, 0:wb] = layer_ref[
-                    0, :, pl.ds(bs, band), width - wb:width].astype(
-                        jnp.float32)
-                rolled_ref[:, :, wb:tw] = layer_ref[
-                    0, :, pl.ds(bs, band), 0:2 * wb].astype(jnp.float32)
-            elif c0 + 2 * wb > width:
-                rolled_ref[:, :, 0:2 * wb] = layer_ref[
-                    0, :, pl.ds(bs, band), lo:lo + 2 * wb].astype(
-                        jnp.float32)
-                rolled_ref[:, :, 2 * wb:tw] = layer_ref[
-                    0, :, pl.ds(bs, band), 0:wb].astype(jnp.float32)
-            else:
-                rolled_ref[:, :, :] = layer_ref[
-                    0, :, pl.ds(bs, band), lo:lo + tw].astype(
-                        jnp.float32)
+        def rungs(k):
+            kf = k.astype(jnp.float32)
+            for t in range(nt):
+                (tklo, tkhi), (tmlo, tmhi) = bounds[t]
 
-            k0 = klo - 1
-            seed = jax.lax.rem(jnp.int32(tw) - k0, jnp.int32(tw))
-            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], seed,
+                @pl.when((k >= tklo - 1) & (k <= tkhi))
+                def _(t=t, tmlo=tmlo, tmhi=tmhi):
+                    c0 = t * wb
+                    ch = ((1.0 - fx[:, c0:c0 + wb])
+                          * (dk[:, c0:c0 + wb] == kf)
+                          + fx[:, c0:c0 + wb]
+                          * (dk[:, c0:c0 + wb] == kf + 1.0))
+                    for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                        @pl.when((m >= tmlo) & (m <= tmhi + 1))
+                        def _(mi=mi, m=m, t=t, ch=ch):
+                            c0 = t * wb
+                            coef = ch * cvs_ref[mi, :, c0:c0 + wb]
+                            tap = rolled_ref[:, band_lead + m:
+                                             band_lead + m + row_block,
+                                             c0:c0 + wb]
+                            acc_ref[:, :, c0:c0 + wb] = (
+                                acc_ref[:, :, c0:c0 + wb]
+                                + (coef[None] * tap).astype(
+                                    acc_ref.dtype))
+
+        rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
+                                        :].astype(jnp.float32)
+
+        def k_up(i, _):
+            rungs(i)
+            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                             width - 1, axis=2)
+            return 0
+
+        jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+
+        @pl.when(gklo - 1 < 0)
+        def _():
+            rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
+                                            :].astype(jnp.float32)
+
+        def k_down(i, _):
+            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 1,
                                              axis=2)
+            rungs(-1 - i)
+            return 0
 
-            def walk(step, _):
-                kf = (k0 + step).astype(jnp.float32)
-                ch = (1.0 - fx) * (dk == kf) + fx * (dk == kf + 1.0)
-                for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-                    @pl.when((m >= mlo) & (m <= mhi + 1))
-                    def _(mi=mi, m=m):
-                        coef = ch * cvs_ref[mi, :, :]
-                        tap = rolled_ref[:, band_lead + m:
-                                         band_lead + m + row_block,
-                                         wb:2 * wb]
-                        acc_ref[:, :, :] = (acc_ref[:, :, :]
-                                            + (coef[None] * tap).astype(
-                                                acc_ref.dtype))
-                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
-                                                 tw - 1, axis=2)
-                return 0
+        jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
 
-            jax.lax.fori_loop(0, khi - k0 + 1, walk, 0)
+        rgb = acc_ref[0:3, :, :].astype(jnp.float32)
+        alpha = acc_ref[3:4, :, :].astype(jnp.float32)
 
-            rgb = acc_ref[0:3, :, :].astype(jnp.float32)
-            alpha = acc_ref[3:4, :, :].astype(jnp.float32)
+        @pl.when(p == 0)
+        def _():
+            out_ref[:, pl.ds(base, row_block), :] = rgb
 
-            @pl.when(p == 0)
-            def _():
-                out_ref[:, pl.ds(base, row_block), c0:c0 + wb] = rgb
-
-            @pl.when(p > 0)
-            def _():
-                prev = out_ref[:, pl.ds(base, row_block), c0:c0 + wb]
-                out_ref[:, pl.ds(base, row_block), c0:c0 + wb] = (
-                    rgb * alpha + prev * (1.0 - alpha))
+        @pl.when(p > 0)
+        def _():
+            prev = out_ref[:, pl.ds(base, row_block), :]
+            out_ref[:, pl.ds(base, row_block), :] = (
+                rgb * alpha + prev * (1.0 - alpha))
         return 0
 
     jax.lax.fori_loop(0, nblk, block_body, 0)
@@ -436,8 +440,7 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
     assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
     mv = 2 * kv_max + 2
     if wb is not None:
-        assert w % wb == 0 and wb % 128 == 0 and kh_max + 2 <= wb, (
-            w, wb, kh_max)
+        assert w % wb == 0 and wb % 128 == 0, (w, wb)
 
     klo, khi, mlo, mhi = _residual_tables(
         uvm[:, 0], uvm[:, 1], cap, row_block, kh_max, kv_max, wb=wb)
@@ -458,16 +461,13 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         out_specs=pl.BlockSpec((3, hm, w), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, band, w if wb is None else 3 * wb),
-                       jnp.float32),
-            pltpu.VMEM((mv, row_block, w if wb is None else wb),
-                       jnp.float32),
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((mv, row_block, w), jnp.float32),
             # f32 accumulator: a bf16 accumulator (tried) halves the
             # read-modify-write traffic but the per-FMA mixed-dtype
             # converts made the kernel NET SLOWER (54.7 -> 52.0 fps
             # e2e) — and costs the bit-close-to-gather guarantee.
-            pltpu.VMEM((4, row_block, w if wb is None else wb),
-                       jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
         ],
     )
     if wb is None:
@@ -596,9 +596,17 @@ def prepared_geometry(h: int, w: int, cap: int = CAP_ROWS,
             "kv_max": kv, "pad": pad}
 
 
+def default_wb(w: int):
+    """Column-tile width for the hybrid FMA predication (None = plain
+    full-width kernel). 128-lane tiles measured strictly faster at
+    every tested pose whenever the width splits into >= 2 tiles."""
+    return 128 if (w % 128 == 0 and w >= 256) else None
+
+
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                         row_block: int = ROW_BLOCK,
                         kh_max: int = None, kv_max: int = None,
+                        wb="auto",
                         interpret: bool = False) -> Array:
     """Ladder-render the mid rows from an ALREADY render-native layer
     stack (flipped + row-wrap-padded [P, 4, H+2*pad, W], any dtype) —
@@ -609,9 +617,11 @@ def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
     geom = prepared_geometry(h, w, cap, row_block)
     kh_max = geom["kh_max"] if kh_max is None else kh_max
     kv_max = geom["kv_max"] if kv_max is None else kv_max
+    if wb == "auto":
+        wb = default_wb(w)
     uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))
     return _ladder_render_mid(prepared, uvm.astype(jnp.float32), cap,
-                              row_block, kh_max, kv_max,
+                              row_block, kh_max, kv_max, wb=wb,
                               interpret=interpret)
 
 
@@ -675,7 +685,7 @@ def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
                                cap: int = CAP_ROWS,
                                row_block: int = ROW_BLOCK,
                                kh_max: int = None, kv_max: int = None,
-                               dtype=jnp.float32,
+                               dtype=jnp.float32, wb="auto",
                                interpret: bool = False) -> Optional[Array]:
     """Composite the mid rows [cap, H-cap) of an ERP novel view.
 
@@ -690,8 +700,10 @@ def render_equirect_mid_pallas(rgba_layers: Array, uv: Array,
     dkh, dkv = default_bounds(h, w, cap)
     kh_max = dkh if kh_max is None else kh_max
     kv_max = dkv if kv_max is None else kv_max
+    if wb == "auto":
+        wb = default_wb(w)
     layers = prepare_layers(rgba_layers, cap, row_block, kv_max, dtype)
     uvm = jnp.transpose(uv[:, cap:h - cap], (0, 3, 1, 2))  # [P, 2, Hm, W]
     return _ladder_render_mid(layers, uvm.astype(jnp.float32), cap,
-                              row_block, kh_max, kv_max,
+                              row_block, kh_max, kv_max, wb=wb,
                               interpret=interpret)
