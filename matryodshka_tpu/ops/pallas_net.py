@@ -375,6 +375,21 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 scr["pack"] = r_pack
                 (pi, _) = add_vmem((3 * cins[0], r_pack * wp_in), dtype)
                 scr["pack_rhs"] = pi
+        elif kind == "deconv":
+            # Same N-rate cure for the transposed convs: R input rows
+            # side by side lift the 2x2-tap GEMMs from N = wpad(w_in)
+            # (128..384 — the worst MXU rates in the net) to N ~ 1024.
+            # When every source of the deconv shares (cin, width) —
+            # true for this U-Net's fg/skip pairs — one packed-rhs
+            # buffer serves them alternately.
+            wp_in = bufs_meta[srcs[0]][4]
+            shared = (all(c == cins[0] for c in cins)
+                      and all(bufs_meta[s][4] == wp_in for s in srcs))
+            r_pack = min(1024 // wp_in, rb // 2)
+            if shared and r_pack > 1 and (rb // 2) % r_pack == 0:
+                scr["pack"] = r_pack
+                (pi, _) = add_vmem((2 * cins[0], r_pack * wp_in), dtype)
+                scr["pack_rhs"] = pi
         stage_scr.append(scr)
 
     # Exact-shaped zero buffers per distinct (C, W): DMA lane slices
@@ -752,6 +767,77 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 e0, e1 = expander(dw // 2)
                 src_dims = [(cins[i], bufs_meta[srcs[i]][3])
                             for i in range(nsrc)]
+                r_pack = scr["pack"]
+
+                if r_pack > 1:
+                    def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
+                               e1=e1, si=si, rb=rb, src_dims=src_dims,
+                               scr=scr, r_pack=r_pack,
+                               ob_i=scr["oband"],
+                               pack_i=scr["pack_rhs"]):
+                        ob = vrefs[ob_i]
+                        rhsb = vrefs[pack_i]
+                        swp = vrefs[scr["wins"][0][0]].shape[-1]
+
+                        def one(rp, _):
+                            base = rp * r_pack
+                            for da in range(2):
+                                acc = [None, None]
+                                for wi, (cs, sws) in \
+                                        enumerate(src_dims):
+                                    win = vrefs[scr["wins"][wi][0]]
+                                    for dy in range(2):
+                                        for k in range(r_pack):
+                                            rhsb[dy * cs:(dy + 1) * cs,
+                                                 k * swp:
+                                                 (k + 1) * swp] = \
+                                                win[slot,
+                                                    base + k + da + dy,
+                                                    :, :]
+                                    rhs = rhsb[:, :]
+                                    for db in range(2):
+                                        for kb in range(2):
+                                            Lk = Ls[wi * 8 + da * 4
+                                                    + db * 2 + kb]
+                                            yk = jnp.dot(
+                                                Lk[:, :], rhs,
+                                                preferred_element_type=jnp.float32)
+                                            sh = db + kb - 1
+                                            if sh == 1:
+                                                yk = _wrap_roll(
+                                                    yk, sws - 1, sws,
+                                                    swp)
+                                            elif sh == -1:
+                                                yk = _wrap_roll(
+                                                    yk, 1, sws, swp)
+                                            acc[db] = (
+                                                yk if acc[db] is None
+                                                else acc[db] + yk)
+                                p0 = (acc[0] + bias[:, :]).astype(dtype)
+                                p1 = (acc[1] + bias[:, :]).astype(dtype)
+                                for k in range(r_pack):
+                                    sl = slice(k * swp, (k + 1) * swp)
+                                    row = (jnp.dot(
+                                        p0[:, sl], e0[:, :],
+                                        preferred_element_type=jnp.float32)
+                                        + jnp.dot(
+                                        p1[:, sl], e1[:, :],
+                                        preferred_element_type=jnp.float32))
+                                    rowq = row.astype(dtype)
+                                    ob[oslot, 2 * (base + k) + da,
+                                       :, :] = rowq
+                                    r32 = rowq.astype(jnp.float32)
+                                    stats[si, 0] = (stats[si, 0]
+                                                    + jnp.sum(r32))
+                                    stats[si, 1] = (stats[si, 1]
+                                                    + jnp.sum(r32 * r32))
+                            return 0
+
+                        jax.lax.fori_loop(0, rb // 2 // r_pack, one, 0)
+
+                    stage(si, name, kind, srcs, cins, cout, outd, rate,
+                          row_fn)
+                    continue
 
                 def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
                            e1=e1, si=si, cout=cout, rb=rb,
