@@ -364,11 +364,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         scr["oband"] = obi
         scr["oslots"] = oslots
         scr["ob_sems"] = osi
-        # Lane packing for narrow stride-1 convs: R rows side by side
-        # push the GEMM N from the padded width (128/256) to ~1024,
-        # where the MXU rate more than doubles (N-rate wall).
+        # Lane packing for narrow convs: R rows side by side push the
+        # GEMM N from the padded width (128/256) to ~1024, where the
+        # MXU rate more than doubles (N-rate wall). Down stages pack
+        # their stride-2 input rows the same way; the one-hot
+        # downsample selector then runs per 128-aligned slot.
         scr["pack"] = 1
-        if kind == "conv" and srcs[0] != "x":
+        if kind in ("conv", "down") and srcs[0] != "x":
             wp_in = bufs_meta[srcs[0]][4]
             r_pack = min(1024 // wp_in, rb)
             if r_pack > 1 and rb % r_pack == 0:
@@ -647,6 +649,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 if r_pack > 1:
                     def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
                                L1=L1, L2=L2, bias=bias, rate=rate,
+                               stride=stride, sel=sel,
                                sc=sc, sw=sw, si=si, rb=rb,
                                r_pack=r_pack, ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
@@ -662,7 +665,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                     rhsb[dy * sc:(dy + 1) * sc,
                                          k * swp:(k + 1) * swp] = \
                                         win[slot,
-                                            base + k + dy * rate, :, :]
+                                            stride * (base + k)
+                                            + dy * rate, :, :]
                             rhs = rhsb[:, :]
                             y0 = jnp.dot(
                                 L0[:, :], rhs,
@@ -677,6 +681,23 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                      + _wrap_roll(y2, sw - rate, sw,
                                                   swp)
                                      + bias[:, :])
+                            if sel is not None:
+                                # per-slot one-hot downsample (zero pad
+                                # rows/cols => output pad lanes exact 0)
+                                db = dense.astype(dtype)
+                                for k in range(r_pack):
+                                    outk = jnp.dot(
+                                        db[:, k * swp:(k + 1) * swp],
+                                        sel[:, :],
+                                        preferred_element_type=jnp.float32)
+                                    rowq = outk.astype(dtype)
+                                    ob[oslot, base + k, :, :] = rowq
+                                    r32 = rowq.astype(jnp.float32)
+                                    stats[si, 0] = (stats[si, 0]
+                                                    + jnp.sum(r32))
+                                    stats[si, 1] = (stats[si, 1]
+                                                    + jnp.sum(r32 * r32))
+                                return 0
                             if swp != sw:
                                 lane = jax.lax.broadcasted_iota(
                                     jnp.int32, dense.shape, 1) % swp
