@@ -338,6 +338,34 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         insts.append(inst)
         return inst
 
+    # Lane packing for narrow convs/deconvs: R rows side by side push
+    # the GEMM N from the padded width (128/256) to ~1024, where the
+    # MXU rate more than doubles (N-rate wall). One shared arena sized
+    # to the largest packed stage serves every stage's packed rhs (the
+    # row_fns slice [0:rows, 0:lanes]) — per-shape singleton buffers
+    # blew the 120 MB scoped-VMEM budget at ngf=64 by 1.5 MB.
+    pack_meta = {}
+    for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
+        rbp = _row_band(h // outd)
+        if kind in ("conv", "down") and srcs[0] != "x":
+            wp_in = bufs_meta[srcs[0]][4]
+            r_pack = min(1024 // wp_in, rbp)
+            if r_pack > 1 and rbp % r_pack == 0:
+                pack_meta[name] = (r_pack, 3 * cins[0],
+                                   r_pack * wp_in)
+        elif kind == "deconv":
+            wp_in = bufs_meta[srcs[0]][4]
+            shared = (all(c == cins[0] for c in cins)
+                      and all(bufs_meta[s][4] == wp_in for s in srcs))
+            r_pack = min(1024 // wp_in, rbp // 2)
+            if shared and r_pack > 1 and (rbp // 2) % r_pack == 0:
+                pack_meta[name] = (r_pack, 2 * cins[0],
+                                   r_pack * wp_in)
+    pack_arena = None
+    if pack_meta:
+        pack_arena = (max(m[1] for m in pack_meta.values()),
+                      max(m[2] for m in pack_meta.values()))
+
     for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
         _claimed.clear()
         rows_out = h // outd
@@ -364,34 +392,11 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         scr["oband"] = obi
         scr["oslots"] = oslots
         scr["ob_sems"] = osi
-        # Lane packing for narrow convs: R rows side by side push the
-        # GEMM N from the padded width (128/256) to ~1024, where the
-        # MXU rate more than doubles (N-rate wall). Down stages pack
-        # their stride-2 input rows the same way; the one-hot
-        # downsample selector then runs per 128-aligned slot.
         scr["pack"] = 1
-        if kind in ("conv", "down") and srcs[0] != "x":
-            wp_in = bufs_meta[srcs[0]][4]
-            r_pack = min(1024 // wp_in, rb)
-            if r_pack > 1 and rb % r_pack == 0:
-                scr["pack"] = r_pack
-                (pi, _) = add_vmem((3 * cins[0], r_pack * wp_in), dtype)
-                scr["pack_rhs"] = pi
-        elif kind == "deconv":
-            # Same N-rate cure for the transposed convs: R input rows
-            # side by side lift the 2x2-tap GEMMs from N = wpad(w_in)
-            # (128..384 — the worst MXU rates in the net) to N ~ 1024.
-            # When every source of the deconv shares (cin, width) —
-            # true for this U-Net's fg/skip pairs — one packed-rhs
-            # buffer serves them alternately.
-            wp_in = bufs_meta[srcs[0]][4]
-            shared = (all(c == cins[0] for c in cins)
-                      and all(bufs_meta[s][4] == wp_in for s in srcs))
-            r_pack = min(1024 // wp_in, rb // 2)
-            if shared and r_pack > 1 and (rb // 2) % r_pack == 0:
-                scr["pack"] = r_pack
-                (pi, _) = add_vmem((2 * cins[0], r_pack * wp_in), dtype)
-                scr["pack_rhs"] = pi
+        if name in pack_meta:
+            scr["pack"] = pack_meta[name][0]
+            (pi, _) = add_vmem(pack_arena, dtype)
+            scr["pack_rhs"] = pi
         stage_scr.append(scr)
 
     # Exact-shaped zero buffers per distinct (C, W): DMA lane slices
@@ -667,7 +672,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                         win[slot,
                                             stride * (base + k)
                                             + dy * rate, :, :]
-                            rhs = rhsb[:, :]
+                            rhs = rhsb[0:3 * sc, 0:r_pack * swp]
                             y0 = jnp.dot(
                                 L0[:, :], rhs,
                                 preferred_element_type=jnp.float32)
@@ -815,7 +820,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                                 win[slot,
                                                     base + k + da + dy,
                                                     :, :]
-                                    rhs = rhsb[:, :]
+                                    rhs = rhsb[0:2 * cs,
+                                               0:r_pack * swp]
                                     for db in range(2):
                                         for kb in range(2):
                                             Lk = Ls[wi * 8 + da * 4
