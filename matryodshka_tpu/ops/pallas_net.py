@@ -338,29 +338,43 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         insts.append(inst)
         return inst
 
-    # Lane packing for narrow convs/deconvs: R rows side by side push
-    # the GEMM N from the padded width (128/256) to ~1024, where the
-    # MXU rate more than doubles (N-rate wall). One shared arena sized
-    # to the largest packed stage serves every stage's packed rhs (the
-    # row_fns slice [0:rows, 0:lanes]) — per-shape singleton buffers
-    # blew the 120 MB scoped-VMEM budget at ngf=64 by 1.5 MB.
+    # Lane packing: R rows side by side push the GEMM N from the
+    # padded width to ~1024-1280. Narrow stages (wp 128-384) sit on the
+    # MXU N-rate wall; the WIDE stages (wp 640: conv1_1/conv1_2/
+    # conv8_2/head — measured 2.3 + 0.8 ms of the 5.4 ms kernel) are
+    # issue-bound at one small dot per row, so 2-row packing halves
+    # their dot count. One shared arena sized to the largest packed
+    # stage serves every stage's packed rhs (the row_fns slice
+    # [0:rows, 0:lanes]) — per-shape singleton buffers blew the 120 MB
+    # scoped-VMEM budget at ngf=64 by 1.5 MB.
+    def _fit_pack(target_lanes, wp_in, group):
+        r = max(1, min(target_lanes // wp_in, group))
+        while group % r:
+            r -= 1
+        return r
+
     pack_meta = {}
     for (name, kind, srcs, cins, cout, ind, outd, rate) in plan:
         rbp = _row_band(h // outd)
-        if kind in ("conv", "down") and srcs[0] != "x":
+        if kind in ("conv", "down"):
             wp_in = bufs_meta[srcs[0]][4]
-            r_pack = min(1024 // wp_in, rbp)
-            if r_pack > 1 and rbp % r_pack == 0:
+            r_pack = _fit_pack(1280, wp_in, rbp)
+            if r_pack > 1:
                 pack_meta[name] = (r_pack, 3 * cins[0],
                                    r_pack * wp_in)
         elif kind == "deconv":
             wp_in = bufs_meta[srcs[0]][4]
             shared = (all(c == cins[0] for c in cins)
                       and all(bufs_meta[s][4] == wp_in for s in srcs))
-            r_pack = min(1024 // wp_in, rbp // 2)
-            if shared and r_pack > 1 and (rbp // 2) % r_pack == 0:
+            r_pack = _fit_pack(1280, wp_in, rbp // 2)
+            if shared and r_pack > 1:
                 pack_meta[name] = (r_pack, 2 * cins[0],
                                    r_pack * wp_in)
+        elif kind == "head":
+            wp_in = bufs_meta[srcs[0]][4]
+            r_pack = _fit_pack(1280, wp_in, rbp)
+            if r_pack > 1:
+                pack_meta[name] = (r_pack, cins[0], r_pack * wp_in)
     pack_arena = None
     if pack_meta:
         pack_arena = (max(m[1] for m in pack_meta.values()),
@@ -919,20 +933,48 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
             elif kind == "head":
                 L, bias = take(2)
+                r_pack = scr["pack"]
 
-                def row_fn(b, slot, oslot, L=L, bias=bias,
-                           vref_i=scr["wins"][0][0], rb=rb,
-                           ob_i=scr["oband"]):
-                    win = vrefs[vref_i]
-                    ob = vrefs[ob_i]
+                if r_pack > 1:
+                    def row_fn(b, slot, oslot, L=L, bias=bias,
+                               vref_i=scr["wins"][0][0], rb=rb,
+                               sc=cins[0], r_pack=r_pack,
+                               ob_i=scr["oband"],
+                               pack_i=scr["pack_rhs"]):
+                        win = vrefs[vref_i]
+                        ob = vrefs[ob_i]
+                        rhsb = vrefs[pack_i]
+                        swp = win.shape[-1]
 
-                    def one(rl, _):
-                        y = jnp.dot(L[:, :], win[slot, rl + 1, :, :],
-                                    preferred_element_type=jnp.float32)
-                        ob[oslot, rl, :, :] = jnp.tanh(y + bias[:, :])
-                        return 0
+                        def one(rp, _):
+                            base = rp * r_pack
+                            for k in range(r_pack):
+                                rhsb[0:sc, k * swp:(k + 1) * swp] = \
+                                    win[slot, base + k + 1, :, :]
+                            y = jnp.dot(
+                                L[:, :], rhsb[0:sc, 0:r_pack * swp],
+                                preferred_element_type=jnp.float32)
+                            t = jnp.tanh(y + bias[:, :])
+                            for k in range(r_pack):
+                                ob[oslot, base + k, :, :] = \
+                                    t[:, k * swp:(k + 1) * swp]
+                            return 0
 
-                    jax.lax.fori_loop(0, rb, one, 0)
+                        jax.lax.fori_loop(0, rb // r_pack, one, 0)
+                else:
+                    def row_fn(b, slot, oslot, L=L, bias=bias,
+                               vref_i=scr["wins"][0][0], rb=rb,
+                               ob_i=scr["oband"]):
+                        win = vrefs[vref_i]
+                        ob = vrefs[ob_i]
+
+                        def one(rl, _):
+                            y = jnp.dot(L[:, :], win[slot, rl + 1, :, :],
+                                        preferred_element_type=jnp.float32)
+                            ob[oslot, rl, :, :] = jnp.tanh(y + bias[:, :])
+                            return 0
+
+                        jax.lax.fori_loop(0, rb, one, 0)
 
                 stage(si, name, kind, srcs, cins, cout, outd, rate,
                       row_fn)

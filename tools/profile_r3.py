@@ -170,16 +170,21 @@ def main():
         return jax.lax.fori_loop(0, CHAIN, body, t)
     ms_uv = timeit(uv_chain, tgt)
 
-    # 6. ladder mid kernel alone
-    @jax.jit
-    def mid_chain(lay):
-        def body(_, ll):
-            o = pallas_render._ladder_render_mid(
-                ll, uvm, cap, geom["row_block"], geom["kh_max"],
-                geom["kv_max"])
-            return ll + o.mean().astype(ll.dtype) * 1e-6
-        return jax.lax.fori_loop(0, CHAIN, body, lay)
-    ms_mid = timeit(mid_chain, prep["prepared"])
+    # 6. ladder mid kernel alone (full-width and hybrid column-tiled)
+    def make_mid_chain(wb):
+        @jax.jit
+        def mid_chain(lay):
+            def body(_, ll):
+                o = pallas_render._ladder_render_mid(
+                    ll, uvm, cap, geom["row_block"], geom["kh_max"],
+                    geom["kv_max"], wb=wb)
+                return ll + o.mean().astype(ll.dtype) * 1e-6
+            return jax.lax.fori_loop(0, CHAIN, body, lay)
+        return mid_chain
+    ms_mid = timeit(make_mid_chain(None), prep["prepared"])
+    wb_def = pallas_render.default_wb(w)
+    ms_mid_wb = (timeit(make_mid_chain(wb_def), prep["prepared"])
+                 if wb_def else ms_mid)
 
     # 7. pole caps alone
     @jax.jit
@@ -216,6 +221,7 @@ def main():
     print(f"[prof] sweep_kernel={ms_sweep:.2f} rm_layout={ms_rm:.2f} "
           f"net_kernel={ms_net:.2f} assemble={ms_asm:.2f} "
           f"uv+tables={ms_uv:.2f} ladder_mid={ms_mid:.2f} "
+          f"ladder_mid_wb={ms_mid_wb:.2f} "
           f"caps={ms_caps:.2f} assemble+render={ms_ar:.2f}")
     total = ms_sweep + ms_rm + ms_net + ms_ar
     print(f"[prof] stage sum (sweep+rm+net+ar) = {total:.2f} ms")
