@@ -54,10 +54,11 @@ def main():
     if fused_net is not None and jax.default_backend() == "tpu":
         try:
             from matryodshka_tpu.ops import pallas_net
-            xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
+            pc = cfg.num_psv_planes * 3
+            xp = jnp.zeros((pc, cfg.height + 2 * pallas_net.X_ROW_PAD,
                             cfg.width), cfg.jnp_compute_dtype)
             jax.block_until_ready(pallas_net.unet_forward(
-                xp, fused_net[0], fused_net[1], fused_net[2],
+                (xp, xp), fused_net[0], fused_net[1], fused_net[2],
                 flipped=fused_net[3]))
             print("[bench] fused net kernel: ok", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — any compile failure
@@ -139,15 +140,28 @@ def main():
         from matryodshka_tpu.geometry import render as render_geo
         from matryodshka_tpu.ops import pallas_render, pallas_sweep
 
+        planar = fused_net is not None and fused_net[3]
+
         @jax.jit
         def sweep_prepared(batch):
             ref = msi_lib.preprocess_image(batch["ref_image"])
             src = msi_lib.preprocess_image(batch["src_image"])
-            return pallas_sweep.ods_sweep_identity_prepared(
+            if planar:
+                return pallas_sweep.ods_sweep_identity_planar(
+                    ref, src, psv_depths, batch["intrinsics"],
+                    out_dtype=cfg.jnp_compute_dtype)
+            _, fg, bg = pallas_sweep.ods_sweep_identity_prepared(
                 ref, src, psv_depths, batch["intrinsics"],
                 out_dtype=cfg.jnp_compute_dtype)
+            return fg, bg
 
-        _, fgF, bgF = sweep_prepared(batch)
+        fgV, bgV = sweep_prepared(batch)       # padded planar if planar
+        if planar:
+            pad = pallas_sweep.NET_ROW_PAD
+            fgF = fgV[:, :, :, pad:pad + cfg.height]
+            bgF = bgV[:, :, :, pad:pad + cfg.height]
+        else:
+            fgF, bgF = fgV, bgV
         cap_pad = render_geo._cap_band_pad(cfg.height, cfg.width,
                                            pallas_render.CAP_ROWS)
 
@@ -155,15 +169,21 @@ def main():
             from matryodshka_tpu.ops import pallas_net
 
             @jax.jit
-            def net_fused(fgF, bgF):
+            def net_fused(fgV, bgV):
                 net_ops, ngf, k, flipped = fused_net
+                if planar:
+                    p_, c_, hp_, w_ = fgV.shape[1:]
+                    return pallas_net.unet_forward(
+                        (fgV[0].reshape(p_ * c_, hp_, w_),
+                         bgV[0].reshape(p_ * c_, hp_, w_)),
+                        net_ops, ngf, k, flipped=flipped)
 
                 def _rm(v):
                     p_, c_, h_, w_ = v.shape
                     u = v if flipped else jnp.flip(v, axis=3)
                     u = u.reshape(p_ * c_, h_, w_)
                     return jnp.transpose(u, (1, 0, 2))
-                x_rm = jnp.concatenate([_rm(fgF[0]), _rm(bgF[0])],
+                x_rm = jnp.concatenate([_rm(fgV[0]), _rm(bgV[0])],
                                        axis=1)
                 return pallas_net.unet_forward(
                     x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
@@ -230,7 +250,7 @@ def main():
         msg = (f"[bench] sweep_prepared={ms_sweep_p:.2f}ms "
                f"assemble+render={ms_ar:.2f}ms")
         if fused_net is not None:
-            ms_nf = timeit(net_fused, fgF, bgF, iters=20)
+            ms_nf = timeit(net_fused, fgV, bgV, iters=20)
             msg += f" net_fused={ms_nf:.2f}ms"
         print(msg, file=sys.stderr)
     ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)

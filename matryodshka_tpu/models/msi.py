@@ -367,23 +367,61 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         return None
     ref = preprocess_image(batch["ref_image"])
     src = preprocess_image(batch["src_image"])
+    cap_pad = render_geo._cap_band_pad(h, w, pallas_render.CAP_ROWS)
+    if fused_net is not None and fused_net[3]:
+        # Whole-net Pallas kernel, PLANAR input: the sweep kernel emits
+        # row-padded plane-major volumes that reshape straight into the
+        # net kernel's planar x operands — ZERO XLA layout pass between
+        # sweep and net (replaces the measured 0.75 ms rm-transpose).
+        from matryodshka_tpu.ops import pallas_net
+        net_ops, ngf, k, flipped = fused_net
+        pad = pallas_sweep.NET_ROW_PAD
+        assert pallas_net.X_ROW_PAD == pad
+        fgP, bgP = pallas_sweep.ods_sweep_identity_planar(
+            ref, src, psv_depths, batch["intrinsics"],
+            out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+        fgF = fgP[:, :, :, pad:pad + h]
+        bgF = bgP[:, :, :, pad:pad + h]
+        b, p_, c_ = fgP.shape[0], fgP.shape[1], fgP.shape[2]
+        preds = []
+        for i in range(b):
+            preds.append(pallas_net.unet_forward(
+                (fgP[i].reshape(p_ * c_, h + 2 * pad, w),
+                 bgP[i].reshape(p_ * c_, h + 2 * pad, w)),
+                net_ops, ngf, k, interpret=interpret, flipped=flipped))
+        msi_pred = jnp.stack(preds)          # [B, H, K, W]
+        pred_layout = "hkwF"
+
+        def _nl(vol):                        # [P,C,H,W] -> [H,W,P*C]
+            un = jnp.flip(vol, axis=3)
+            return jnp.transpose(un, (2, 3, 0, 1)).reshape(h, w,
+                                                           p_ * c_)
+        net_input = jnp.stack([
+            jnp.concatenate([_nl(fgF[i]), _nl(bgF[i])], axis=-1)
+            for i in range(b)])              # tests only; DCE'd in prod
+        per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
+                                      fgF[i], bgF[i], cfg.num_msi_planes,
+                                      cap_pad=cap_pad,
+                                      dtype=cfg.jnp_compute_dtype,
+                                      pred_layout=pred_layout)
+               for i in range(b)]
+        out = {k2: jnp.stack([d[k2] for d in per])
+               for k2 in ("prepared", "cap_top", "cap_bot")}
+        out["msi_pred"] = msi_pred
+        out["net_input"] = net_input
+        return out
     net_input, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
         ref, src, psv_depths, batch["intrinsics"],
         out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
-    cap_pad = render_geo._cap_band_pad(h, w, pallas_render.CAP_ROWS)
     b = fgF.shape[0]
     if fused_net is not None:
-        # Whole-net Pallas kernel: consumes the sweep volumes in
-        # row-major [H, 2*P*3, W] (one leading-dims transpose — the
-        # channel-minor net_input is never materialized; XLA DCEs it
-        # when unused), emits pred in [H, K, W].
+        # Whole-net Pallas kernel (unflipped operands): consumes the
+        # sweep volumes in row-major [H, 2*P*3, W] (one flip+transpose
+        # XLA pass), emits pred in [H, K, W].
         from matryodshka_tpu.ops import pallas_net
         net_ops, ngf, k, flipped = fused_net
 
         def _rm(v):
-            # flipped operands consume the sweep's native W-flip as-is:
-            # the only remaining layout cost is the leading-dims
-            # transpose (no flip pass).
             p_, c_, h_, w_ = v.shape
             u = v if flipped else jnp.flip(v, axis=3)
             u = u.reshape(p_ * c_, h_, w_)

@@ -269,9 +269,23 @@ def _row_band(rows: int) -> int:
     return 1
 
 
+# Vertical pad rows of the planar x operands ([P*C, H + 2*X_ROW_PAD, W]
+# from pallas_sweep.ods_sweep_identity_planar): 8 keeps every window DMA
+# a full rectangle (no edge memsets) and every offset sublane-aligned.
+X_ROW_PAD = 8
+
+
 def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
-                  dtype):
-    """Returns (kernel_fn, scratch_shapes, total_ops, vmem_bytes)."""
+                  dtype, planar_x: bool = False):
+    """Returns (kernel_fn, scratch_shapes, total_ops, vmem_bytes).
+
+    planar_x: the network input arrives as TWO plane-major operands
+    [cin0/2, H + 2*X_ROW_PAD, W] (the sweep kernel's padded planar
+    volumes) instead of one row-major [H, cin0, W]; conv1_1's window
+    keeps channels major ([cs, win_rows, swp]) so the band DMAs are
+    plain strided rectangles and the GEMM rhs is packed with STATIC
+    sublane reads (python-unrolled row groups) — zero XLA layout pass
+    between sweep and net."""
     plan = unet_plan(ngf, cin0, num_outputs)
     by_name = {e[0]: e for e in plan}
     layer_idx = {e[0]: i for i, e in enumerate(plan)}
@@ -395,8 +409,15 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             else:
                 win_rows = stride * rb + 2 * rate
             nslots = 2 if nb > 1 else 1
-            (bi, si) = add_vmem((nslots, win_rows, cs, swp), dtype,
-                                nsems=nslots)
+            if planar_x and s == "x":
+                # channels-major window: rows are the sublane dim, so
+                # the two planar operands DMA straight in (two copies
+                # per band -> two sems per slot); row reads are static.
+                (bi, si) = add_vmem((nslots, cs, win_rows, swp), dtype,
+                                    nsems=2 * nslots)
+            else:
+                (bi, si) = add_vmem((nslots, win_rows, cs, swp), dtype,
+                                    nsems=nslots)
             scr["wins"].append((bi, win_rows, nslots))
             scr["win_sems"].append(si)
         oslots = 2 if nb > 1 else 1
@@ -430,7 +451,9 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     def n_ops(kind, nsrc):
         return {"head": 2, "deconv": nsrc * 8 + 3}.get(kind, 6)
 
-    total_params = 1 + sum(n_ops(k, len(s)) for (_, k, s, *_r) in plan)
+    n_x_ops = 2 if planar_x else 1
+    total_params = n_x_ops + sum(n_ops(k, len(s))
+                                 for (_, k, s, *_r) in plan)
     sel_widths = [w, w // 2, w // 4]
     exp_widths = [w // 8, w // 4, w // 2]
     total_ops = total_params + len(sel_widths) + 2 * len(exp_widths)
@@ -444,7 +467,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         out_ref = refs[total_ops]
         hbufs = {n: refs[total_ops + 1 + i]
                  for i, n in enumerate(buf_names[1:])}
-        hbufs["x"] = ops[0]
+        hbufs["x"] = (ops[0], ops[1]) if planar_x else ops[0]
         base = total_ops + 1 + (len(buf_names) - 1)
         vrefs = list(refs[base:base + len(vmem_scratch)])
         stats = refs[base + len(vmem_scratch)]
@@ -477,7 +500,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
         for d in zero_dmas:
             d.wait()
 
-        oi = [1]
+        oi = [n_x_ops]
 
         def take(n):
             r = ops[oi[0]:oi[0] + n]
@@ -524,6 +547,20 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 vref = vrefs[vref_i]
                 src_name = srcs[wi]
                 sbuf = hbufs[src_name]
+                if src_name == "x" and planar_x:
+                    # channels-major window <- two padded planar
+                    # operands: full rectangles, no edge cases (the
+                    # X_ROW_PAD pad bands absorb the rate-1 halo).
+                    x0, x1 = sbuf
+                    pc = cin0 // 2
+                    g0 = stride * b * rb - rate + X_ROW_PAD
+                    s0 = scr["win_sems"][wi]
+                    for j, part in enumerate((x0, x1)):
+                        getattr(pltpu.make_async_copy(
+                            part.at[:, pl.ds(g0, win_rows), :],
+                            vref.at[slot, pl.ds(j * pc, pc)],
+                            sem.at[s0 + 2 * slot + j]), action)()
+                    return
                 semr = sem.at[scr["win_sems"][wi] + slot]
                 if src_name == "x":
                     # The operand has no pad rows: edge bands copy one
@@ -664,6 +701,65 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 sel = selector(sw) if kind == "down" else None
                 vref_i = scr["wins"][0][0]
                 r_pack = scr["pack"]
+
+                if planar_x and srcs[0] == "x":
+                    # channels-major x window: rows live on the sublane
+                    # dim, where only STATIC offsets are legal — the
+                    # row-group loop is python-unrolled (rb/r_pack
+                    # iterations). conv1_1 only: stride=1, rate=1,
+                    # sel=None, sw == swp (input width 128-aligned).
+                    def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
+                               L1=L1, L2=L2, bias=bias, sc=sc, sw=sw,
+                               si=si, rb=rb, r_pack=r_pack,
+                               ob_i=scr["oband"],
+                               pack_i=scr.get("pack_rhs")):
+                        win = vrefs[vref_i]
+                        ob = vrefs[ob_i]
+                        swp = win.shape[-1]
+                        Ls = (L0, L1, L2)
+                        for rp in range(rb // r_pack):
+                            base = rp * r_pack
+                            if r_pack > 1:
+                                rhsb = vrefs[pack_i]
+                                for dy in range(3):
+                                    for k in range(r_pack):
+                                        rhsb[dy * sc:(dy + 1) * sc,
+                                             k * swp:(k + 1) * swp] = \
+                                            win[slot, :,
+                                                base + k + dy, :]
+                                rhs = rhsb[0:3 * sc, 0:r_pack * swp]
+                                ys = [jnp.dot(
+                                    L[:, :], rhs,
+                                    preferred_element_type=jnp.float32)
+                                    for L in Ls]
+                            else:
+                                ys = [None, None, None]
+                                for dy in range(3):
+                                    rr = win[slot, :, base + dy, :]
+                                    for xi, L in enumerate(Ls):
+                                        t = jnp.dot(
+                                            L[:, dy * sc:(dy + 1) * sc],
+                                            rr,
+                                            preferred_element_type=jnp.float32)
+                                        ys[xi] = (t if ys[xi] is None
+                                                  else ys[xi] + t)
+                            dense = (_wrap_roll(ys[0], 1, sw, swp)
+                                     + ys[1]
+                                     + _wrap_roll(ys[2], sw - 1, sw,
+                                                  swp)
+                                     + bias[:, :])
+                            rowq = dense.astype(dtype)
+                            for k in range(r_pack):
+                                ob[oslot, base + k, :, :] = \
+                                    rowq[:, k * swp:(k + 1) * swp]
+                            r32 = rowq.astype(jnp.float32)
+                            stats[si, 0] = stats[si, 0] + jnp.sum(r32)
+                            stats[si, 1] = (stats[si, 1]
+                                            + jnp.sum(r32 * r32))
+
+                    stage(si, name, kind, srcs, cins, cout, outd, rate,
+                          row_fn)
+                    continue
 
                 if r_pack > 1:
                     def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
@@ -986,15 +1082,17 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "ngf", "cin0", "num_outputs", "interpret"))
+    "h", "w", "ngf", "cin0", "num_outputs", "interpret", "planar_x"))
 def _forward(operands, h: int, w: int, ngf: int, cin0: int,
-             num_outputs: int, interpret: bool = False) -> Array:
+             num_outputs: int, interpret: bool = False,
+             planar_x: bool = False) -> Array:
     dtype = operands[0].dtype
     kernel, scratch, total_ops, hbm_out_shapes, _ = _build_kernel(
-        h, w, ngf, cin0, num_outputs, dtype)
-    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)]
+        h, w, ngf, cin0, num_outputs, dtype, planar_x=planar_x)
+    n_x = 2 if planar_x else 1
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * n_x
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                * (total_ops - 1))
+                * (total_ops - n_x))
     out_shape = ([jax.ShapeDtypeStruct((h, num_outputs, w), jnp.float32)]
                  + [jax.ShapeDtypeStruct(shp, dt)
                     for shp, dt in hbm_out_shapes])
@@ -1020,7 +1118,23 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
 
     flipped: params_ops came from prepare_params(flipped=True) and
     x_row_major is the W-FLIPPED input; the output is then the W-flipped
-    prediction."""
+    prediction.
+
+    PLANAR mode: pass x_row_major as a TUPLE of two plane-major
+    operands [P*C, H + 2*X_ROW_PAD, W] (fg/bg volumes from
+    pallas_sweep.ods_sweep_identity_planar, already W-flipped — use
+    flipped=True params) — the kernel consumes them directly with no
+    XLA layout pass."""
+    if isinstance(x_row_major, (tuple, list)):
+        x0, x1 = x_row_major
+        pc, hp, w = x0.shape
+        assert x1.shape == x0.shape, (x0.shape, x1.shape)
+        h = hp - 2 * X_ROW_PAD
+        ops = ([x0, x1] + list(params_ops)
+               + static_operands(w, x0.dtype, flipped))
+        return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=2 * pc,
+                        num_outputs=num_outputs, interpret=interpret,
+                        planar_x=True)
     h, c0, w = x_row_major.shape
     ops = ([x_row_major] + list(params_ops)
            + static_operands(w, x_row_major.dtype, flipped))

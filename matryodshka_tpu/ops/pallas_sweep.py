@@ -169,7 +169,7 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                   shiftv_ref, fxv_ref, validv_ref,
                   img_ref, park_ref, out_ref, band_ref, vb_ref, *,
                   height: int, width: int, row_block: int,
-                  tap2_roll: int = 1):
+                  tap2_roll: int = 1, out_row0: int = 0):
     """Grid: (NP,) — one program per (eye-)plane. img_ref block:
     [1, C, H + 2*_VPAD, W] wrap-padded source for THIS program's eye
     (the dual-eye call stacks both images and index-maps i // P);
@@ -196,6 +196,15 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
     c = img_ref.shape[1]
     pid = pl.program_id(0)
     n_blocks = height // row_block
+
+    if out_row0:
+        # planar-padded output [1, C, H + 2*out_row0, W]: zero the pad
+        # row bands once (static sublane slices); data rows store at
+        # base + out_row0, which stays 8-aligned for out_row0 % 8 == 0.
+        out_ref[0, :, 0:out_row0, :] = jnp.zeros(
+            (c, out_row0, width), out_ref.dtype)
+        out_ref[0, :, height + out_row0:height + 2 * out_row0, :] = \
+            jnp.zeros((c, out_row0, width), out_ref.dtype)
 
     def block_body(blk, _):
         base = blk * row_block
@@ -244,7 +253,7 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
         out_rows = jnp.where(valid_vec[None] > 0, out_rows,
                              park_ref[0, :, :, :])
-        out_ref[0, :, pl.ds(base, row_block), :] = out_rows.astype(
+        out_ref[0, :, pl.ds(base + out_row0, row_block), :] = out_rows.astype(
             out_ref.dtype)
         return 0
 
@@ -302,11 +311,14 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
 
 def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                 p_per_eye: int, height: int, width: int, out_dtype,
-                flip_out: bool, interpret: bool) -> Array:
+                flip_out: bool, interpret: bool,
+                out_row_pad: int = 0) -> Array:
     """Shared pallas_call: imgs_padded [NE, C, H+2*_VPAD, W] (one image
     per eye), parks [NE, C, 1, W], params dict of [NE*P, ...] arrays.
     Grid (NE*P,); program i uses image i // p_per_eye. Returns
-    [NE*P, C, H, W]."""
+    [NE*P, C, H, W] — or [NE*P, C, H + 2*out_row_pad, W] with zeroed
+    pad row bands (out_row_pad % 8 == 0; the planar net-input layout,
+    see pallas_net planar mode)."""
     ne, c = imgs_padded.shape[0], imgs_padded.shape[1]
     np_total = ne * p_per_eye
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -323,10 +335,13 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
         # per-row path instead of risking a misaligned vector load.
         fast = jnp.zeros_like(fast)
     pp = p_per_eye
+    assert out_row_pad % 8 == 0, out_row_pad
+    hout = height + 2 * out_row_pad
     return pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block,
-                          tap2_roll=(width - 1) if flip_out else 1),
+                          tap2_roll=(width - 1) if flip_out else 1,
+                          out_row0=out_row_pad),
         grid=(np_total,),
         in_specs=[smem(), smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
@@ -337,10 +352,10 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                   pl.BlockSpec((1, c, 1, width),
                                lambda i: (i // pp, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, c, height, width),
+        out_specs=pl.BlockSpec((1, c, hout, width),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_total, c, height, width),
+        out_shape=jax.ShapeDtypeStruct((np_total, c, hout, width),
                                        out_dtype),
         scratch_shapes=[pltpu.VMEM((c, row_block + 2 * _VPAD, width),
                                    jnp.float32),
@@ -359,15 +374,17 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "out_dtype",
-                                    "interpret"))
+                                    "interpret", "out_row_pad"))
 def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
                           depths: Array, intrinsics: Array,
                           height: int, width: int,
                           out_dtype=jnp.float32,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          out_row_pad: int = 0):
     """Both eyes in ONE pallas_call (grid 2P): halves the dispatch and
     per-call fixed cost vs two single-eye sweeps. Emits the FLIPPED
-    render-native volumes. Returns (fgF, bgF) each [P, C, H, W]."""
+    render-native volumes. Returns (fgF, bgF) each [P, C, H, W] (or
+    [P, C, H + 2*out_row_pad, W] with zeroed pad bands)."""
     p = depths.shape[0]
     imgs, parks = [], []
     for img in (ref_image, src_image):
@@ -384,7 +401,7 @@ def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
     out = _sweep_call(jnp.stack(imgs), jnp.stack(parks), params,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=True,
-                      interpret=interpret)
+                      interpret=interpret, out_row_pad=out_row_pad)
     return out[:p], out[p:]
 
 
@@ -421,6 +438,40 @@ def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
         fgs.append(fv)
         bgs.append(gv)
     return jnp.stack(nets), jnp.stack(fgs), jnp.stack(bgs)
+
+
+# Vertical pad rows of the planar net-input volumes (pallas_net planar
+# mode): 8 keeps the sweep kernel's shifted stores sublane-aligned and
+# gives the net's x-window DMAs full rectangles with no edge cases.
+NET_ROW_PAD = 8
+
+
+def ods_sweep_identity_planar(ref_image: Array, src_image: Array,
+                              depths: Array, intrinsics: Array,
+                              out_dtype=jnp.float32,
+                              interpret: bool = False):
+    """Both eyes' sweeps in the PLANAR net-input layout.
+
+    Returns (fgP, bgP) [B, P, C, H + 2*NET_ROW_PAD, W]: flipped
+    plane-major volumes with zeroed pad row bands, written by the same
+    dual-eye kernel (the pad costs two static zero stores). fgP[:, :,
+    NET_ROW_PAD:NET_ROW_PAD+H] equals ods_sweep_identity_prepared's fgF
+    (assemble slices it off for free); the padded planes reshape to the
+    net kernel's planar x operands [P*C, H+2*PAD, W] with zero layout
+    work — replacing the measured 0.75 ms XLA flip/transpose/concat
+    rm-layout pass.
+    """
+    b, h, w, c = ref_image.shape
+    fgs, bgs = [], []
+    for i in range(b):
+        fv, gv = _ods_sweep_dual_stack(ref_image[i], src_image[i],
+                                       depths, intrinsics[i], h, w,
+                                       out_dtype=out_dtype,
+                                       interpret=interpret,
+                                       out_row_pad=NET_ROW_PAD)
+        fgs.append(fv)
+        bgs.append(gv)
+    return jnp.stack(fgs), jnp.stack(bgs)
 
 
 def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,

@@ -72,3 +72,47 @@ def test_kernel_matches_flax_bf16():
                                rtol=0, atol=0.05)
     err = np.abs(np.asarray(got_hwk) - np.asarray(ref[0]))
     assert err.mean() < 5e-3, err.mean()
+
+
+def test_planar_mode_matches_row_major():
+    """Planar x operands (two [P*C, H+2*X_ROW_PAD, W] volumes with zero
+    pad bands) produce bit-identical output to the row-major input —
+    the zero-layout-tax contract between the sweep kernel's padded
+    planar emission and conv1_1's channels-major window."""
+    model, params, x = _setup(jnp.float32)
+    ops = pallas_net.prepare_params(params, NGF, CIN0, NOUT,
+                                    dtype=jnp.float32)
+    x_rm = jnp.transpose(x[0], (0, 2, 1)).astype(jnp.float32)
+    ref = pallas_net.unet_forward(x_rm, ops, NGF, NOUT, interpret=True)
+
+    pad = pallas_net.X_ROW_PAD
+    xr = jnp.transpose(x[0], (2, 0, 1)).astype(jnp.float32)  # [C0,H,W]
+    xpad = jnp.pad(xr, ((0, 0), (pad, pad), (0, 0)))
+    pc = CIN0 // 2
+    got = pallas_net.unet_forward((xpad[:pc], xpad[pc:]), ops, NGF,
+                                  NOUT, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_planar_sweep_pad_matches_prepared():
+    """ods_sweep_identity_planar's padded volumes: pad bands are zero
+    and the interior equals ods_sweep_identity_prepared's fgF/bgF."""
+    from matryodshka_tpu.ops import pallas_sweep
+
+    rng = np.random.RandomState(2)
+    b, h, w, p = 1, 32, 128, 4
+    ref_img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    src_img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    depths = jnp.linspace(1.0, 100.0, p)
+    intr = jnp.tile(jnp.eye(3)[None], (b, 1, 1)).at[:, 0, 0].set(0.032)
+
+    _, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
+        ref_img, src_img, depths, intr, interpret=True)
+    fgP, bgP = pallas_sweep.ods_sweep_identity_planar(
+        ref_img, src_img, depths, intr, interpret=True)
+    pad = pallas_sweep.NET_ROW_PAD
+    for full, padded in ((fgF, fgP), (bgF, bgP)):
+        np.testing.assert_array_equal(
+            np.asarray(padded[:, :, :, pad:pad + h]), np.asarray(full))
+        assert float(jnp.abs(padded[:, :, :, :pad]).max()) == 0.0
+        assert float(jnp.abs(padded[:, :, :, pad + h:]).max()) == 0.0

@@ -122,6 +122,16 @@ def main():
         return jax.lax.fori_loop(0, CHAIN, body, r)
     ms_sweep = timeit(sweep_chain, ref)
 
+    # 1b. planar sweep (padded plane-major, the fused-net production path)
+    @jax.jit
+    def sweep_planar_chain(r):
+        def body(_, rr):
+            fg, bg = pallas_sweep.ods_sweep_identity_planar(
+                rr, src, psv_depths, intr, out_dtype=cfg.jnp_compute_dtype)
+            return rr * 0.999 + jnp.mean(fg.astype(jnp.float32)) * 1e-6
+        return jax.lax.fori_loop(0, CHAIN, body, r)
+    ms_sweep_planar = timeit(sweep_planar_chain, ref)
+
     # 2. rm layout fix alone
     @jax.jit
     def rm_chain(a):
@@ -142,6 +152,22 @@ def main():
             return x2 * 0.1 + xx * 0.9
         return jax.lax.fori_loop(0, CHAIN, body, x)
     ms_net = timeit(net_chain, x_rm)
+
+    # 3b. net kernel, PLANAR operands (production path: no rm pass)
+    pad = pallas_sweep.NET_ROW_PAD
+    pcp = p * 3
+
+    @jax.jit
+    def net_planar_chain(x0, x1):
+        def body(_, xs):
+            a, bb = xs
+            y = pallas_net.unet_forward((a, bb), net_ops, ngf, k,
+                                        flipped=net_flipped)
+            dep = (y.astype(jnp.float32).mean() * 1e-6).astype(a.dtype)
+            return (a * 0.999 + dep, bb)
+        return jax.lax.fori_loop(0, CHAIN, body, (x0, x1))
+    fgP0 = jnp.zeros((pcp, h + 2 * pad, w), cfg.jnp_compute_dtype)
+    ms_net_planar = timeit(net_planar_chain, fgP0, fgP0)
 
     # 4. assemble alone (pred -> prepared + caps)
     @jax.jit
@@ -218,13 +244,16 @@ def main():
         return jax.lax.fori_loop(0, CHAIN, body, pr)
     ms_ar = timeit(ar_chain, pred_rm.astype(jnp.float32))
 
-    print(f"[prof] sweep_kernel={ms_sweep:.2f} rm_layout={ms_rm:.2f} "
-          f"net_kernel={ms_net:.2f} assemble={ms_asm:.2f} "
+    print(f"[prof] sweep_kernel={ms_sweep:.2f} "
+          f"sweep_planar={ms_sweep_planar:.2f} rm_layout={ms_rm:.2f} "
+          f"net_kernel={ms_net:.2f} net_planar={ms_net_planar:.2f} "
+          f"assemble={ms_asm:.2f} "
           f"uv+tables={ms_uv:.2f} ladder_mid={ms_mid:.2f} "
           f"ladder_mid_wb={ms_mid_wb:.2f} "
           f"caps={ms_caps:.2f} assemble+render={ms_ar:.2f}")
-    total = ms_sweep + ms_rm + ms_net + ms_ar
-    print(f"[prof] stage sum (sweep+rm+net+ar) = {total:.2f} ms")
+    total = ms_sweep_planar + ms_net_planar + ms_ar
+    print(f"[prof] stage sum (sweep_planar+net_planar+ar) = "
+          f"{total:.2f} ms")
 
 
 if __name__ == "__main__":
