@@ -67,10 +67,16 @@ def theta_phi_to_pixels(theta, phi, width: int, height: int):
     phi in [-pi/2, pi/2] maps to v in [0, H-1].
     Returns uv stacked on the last axis: [..., 2].
     """
+    u, v = theta_phi_to_pixels_uv(theta, phi, width, height)
+    return jnp.stack([u, v], axis=-1)
+
+
+def theta_phi_to_pixels_uv(theta, phi, width: int, height: int):
+    """Channel-first form of theta_phi_to_pixels: returns (u, v)."""
     u = (theta + PI - PI / width) / (2 * PI - 2 * PI / width) * (width - 1)
     v = ((phi + 0.5 * PI - 0.5 * PI / height)
          / (PI - PI / height) * (height - 1))
-    return jnp.stack([u, v], axis=-1)
+    return u, v
 
 
 def spherical_ray_dirs(S, T):

@@ -84,6 +84,33 @@ def intersect_sphere(pose: Array, center: Array, radii: Array,
     return project_spherical(pts, 1, None, None, width, height)
 
 
+def intersect_sphere_uv(pose: Array, center: Array, radii: Array,
+                        width: int, height: int):
+    """Channel-first twin of intersect_sphere: returns (u, v) each
+    [P, height, width]. Same math; skips the channel-minor [..., 2]
+    stack whose 2-wide lane tiling forces layout shuffles in the hot
+    render path (the ladder kernel wants [P, 2, H, W])."""
+    from matryodshka_tpu.geometry.grids import theta_phi_to_pixels_uv
+    center = jnp.reshape(center, (-1,))
+    S, T = lat_long_grid((height, width))
+    cosT = jnp.cos(T)
+    rx = jnp.cos(S) * cosT
+    ry = jnp.sin(T)
+    rz = jnp.sin(S) * cosT
+    rx, ry, rz = rotate_dirs((rx, ry, rz), pose)
+    cx, cy, cz = apply_pose((center[2], center[1], center[0]), pose)
+    radii = radii[:, None, None]
+    x, y, z = sphere_intersections(
+        (rx[None], ry[None], rz[None]),
+        (jnp.broadcast_to(cx, (1, height, width)),
+         jnp.broadcast_to(cy, (1, height, width)),
+         jnp.broadcast_to(cz, (1, height, width))),
+        radii)
+    theta = -jnp.arctan2(z, x)
+    phi = jnp.arctan2(y, jnp.sqrt(jnp.square(x) + jnp.square(z)))
+    return theta_phi_to_pixels_uv(theta, phi, width, height)
+
+
 def intersect_ods(pose: Array, center: Array, order: int, intrinsics: Array,
                   radii: Array, width: int, height: int):
     """Re-render an ODS eye: rays originate on the viewing circle.

@@ -141,8 +141,16 @@ def _cap_over_band(band: Array, uv_rows: Array, vshift: float) -> Array:
     """Gather-render a pole cap from a prebuilt source band
     [bandH, W, P, 4]; uv_rows [P, cap, W, 2] in full-image coordinates,
     vshift maps them into the band."""
-    uv_b = jnp.stack([uv_rows[..., 0], uv_rows[..., 1] + vshift], axis=-1)
-    proj = _gather_layers(band, uv_b)
+    return _cap_over_band_uv(band, uv_rows[..., 0], uv_rows[..., 1],
+                             vshift)
+
+
+def _cap_over_band_uv(band: Array, u_rows: Array, v_rows: Array,
+                      vshift: float) -> Array:
+    """Channel-first _cap_over_band: u_rows/v_rows each [P, cap, W]."""
+    from matryodshka_tpu.ops.resample import resample_layers_uv
+    layers = jnp.moveaxis(band, 2, 0)  # [P, bandH, W, C]
+    proj = resample_layers_uv(layers, u_rows, v_rows + vshift)
     return over_composite(jnp.moveaxis(proj, 0, 2))
 
 
@@ -210,33 +218,55 @@ def render_equirect_view_prepared(prepared: Array, cap_top: Array,
     from matryodshka_tpu.ops import pallas_render
     p, c4, hpad, w = prepared.shape
     h = height
-    uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
-    ok = pallas_render.residual_ok(uv, cap, cap_pad=cap_pad)
+    if chunk_rows is not None:
+        # high-res flow keeps the channel-minor uv field
+        uv = intersect.intersect_sphere(tgt_pose, tgt_pos, radii, w, h)
+        ok = pallas_render.residual_ok(uv, cap, cap_pad=cap_pad)
 
-    def fused_path(prepared, cap_top, cap_bot, uv):
-        if chunk_rows is not None:
-            # high-res: row-chunked mid render (bounded VMEM)
+        def fused_hres(prepared, cap_top, cap_bot, uv):
             mid = pallas_render.render_mid_chunked(
                 prepared, uv, h, cap, chunk_rows, row_block,
                 interpret=interpret)
-        else:
-            mid = pallas_render.render_mid_prepared(prepared, uv, cap,
-                                                    row_block,
-                                                    interpret=interpret)
-        top = _cap_over_band(cap_top, uv[:, :cap], float(cap_pad))
-        bot = _cap_over_band(cap_bot, uv[:, h - cap:],
-                             float(cap_pad + cap - h))
+            top = _cap_over_band(cap_top, uv[:, :cap], float(cap_pad))
+            bot = _cap_over_band(cap_bot, uv[:, h - cap:],
+                                 float(cap_pad + cap - h))
+            return jnp.concatenate([top, mid, bot], axis=0)
+
+        def gather_hres(prepared, cap_top, cap_bot, uv):
+            pad = (hpad - h) // 2
+            interior = prepared[:, :, pad:pad + h, :].astype(jnp.float32)
+            layers = jnp.transpose(jnp.flip(interior, axis=3),
+                                   (2, 3, 0, 1))
+            proj = _gather_layers(layers, uv)
+            return over_composite(jnp.moveaxis(proj, 0, 2))
+
+        return jax.lax.cond(ok, fused_hres, gather_hres,
+                            prepared, cap_top, cap_bot, uv)
+
+    # channel-first uv: no [..., 2] stack in the hot path (its 2-wide
+    # lane tiling forces layout shuffles before the ladder kernel)
+    u, v = intersect.intersect_sphere_uv(tgt_pose, tgt_pos, radii, w, h)
+    ok = pallas_render.residual_ok_uv(u, v, cap, cap_pad=cap_pad)
+
+    def fused_path(prepared, cap_top, cap_bot, u, v):
+        mid = pallas_render.render_mid_prepared_cf(prepared, u, v, cap,
+                                                   row_block,
+                                                   interpret=interpret)
+        top = _cap_over_band_uv(cap_top, u[:, :cap], v[:, :cap],
+                                float(cap_pad))
+        bot = _cap_over_band_uv(cap_bot, u[:, h - cap:], v[:, h - cap:],
+                                float(cap_pad + cap - h))
         return jnp.concatenate([top, mid, bot], axis=0)
 
-    def gather_path(prepared, cap_top, cap_bot, uv):
+    def gather_path(prepared, cap_top, cap_bot, u, v):
         pad = (hpad - h) // 2
         interior = prepared[:, :, pad:pad + h, :].astype(jnp.float32)
         layers = jnp.transpose(jnp.flip(interior, axis=3), (2, 3, 0, 1))
-        proj = _gather_layers(layers, uv)
+        proj = _gather_layers(layers, jnp.stack([u, v], axis=-1))
         return over_composite(jnp.moveaxis(proj, 0, 2))
 
     return jax.lax.cond(ok, fused_path, gather_path,
-                        prepared, cap_top, cap_bot, uv)
+                        prepared, cap_top, cap_bot, u, v)
 
 
 def render_equirect_depth(rgba_layers: Array, tgt_pose: Array,

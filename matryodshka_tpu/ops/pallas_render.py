@@ -625,6 +625,29 @@ def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                               interpret=interpret)
 
 
+def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
+                           cap: int = CAP_ROWS,
+                           row_block: int = ROW_BLOCK,
+                           kh_max: int = None, kv_max: int = None,
+                           wb="auto",
+                           interpret: bool = False) -> Array:
+    """Channel-first twin of render_mid_prepared: u, v each [P, H, W]
+    (full height; mid rows are sliced here). Builds the kernel's
+    [P, 2, Hm, W] operand with a cheap channel-major stack instead of
+    transposing a channel-minor [..., 2] field."""
+    p, c, hpad, w = prepared.shape
+    h = u.shape[1]
+    geom = prepared_geometry(h, w, cap, row_block)
+    kh_max = geom["kh_max"] if kh_max is None else kh_max
+    kv_max = geom["kv_max"] if kv_max is None else kv_max
+    if wb == "auto":
+        wb = default_wb(w)
+    uvm = jnp.stack([u[:, cap:h - cap], v[:, cap:h - cap]], axis=1)
+    return _ladder_render_mid(prepared, uvm.astype(jnp.float32), cap,
+                              row_block, kh_max, kv_max, wb=wb,
+                              interpret=interpret)
+
+
 def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
                    kv_max: int = KV_MAX, dtype=jnp.float32) -> Array:
     """[H, W, P, 4] -> flipped + row-wrap-padded [P, 4, H+2*pad, W]."""
@@ -659,11 +682,20 @@ def residual_ok(uv: Array, cap: int = CAP_ROWS,
     reductions over fields the kernel path computes anyway (XLA CSE).
     """
     p, h, w, _ = uv.shape
+    return residual_ok_uv(uv[..., 0], uv[..., 1], cap, kh_max, kv_max,
+                          cap_pad)
+
+
+def residual_ok_uv(u: Array, v: Array, cap: int = CAP_ROWS,
+                   kh_max: int = None, kv_max: int = None,
+                   cap_pad: int = 16) -> Array:
+    """Channel-first residual_ok: u, v each [P, H, W]."""
+    p, h, w = u.shape
     dkh, dkv = default_bounds(h, w, cap)
     kh_max = dkh if kh_max is None else kh_max
     kv_max = dkv if kv_max is None else kv_max
-    um = uv[:, cap:h - cap, :, 0]
-    vm = uv[:, cap:h - cap, :, 1]
+    um = u[:, cap:h - cap]
+    vm = v[:, cap:h - cap]
     j = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
     i_mid = (jax.lax.broadcasted_iota(jnp.float32, (1, h - 2 * cap, 1), 1)
              + cap)
@@ -672,8 +704,8 @@ def residual_ok(uv: Array, cap: int = CAP_ROWS,
     dy = jnp.floor(vm) - i_mid
     ok_mid = ((jnp.max(jnp.abs(dk)) <= kh_max)
               & (jnp.max(jnp.abs(dy)) <= kv_max))
-    v_top = uv[:, :cap, :, 1]
-    v_bot = uv[:, h - cap:, :, 1]
+    v_top = v[:, :cap]
+    v_bot = v[:, h - cap:]
     i_top = jax.lax.broadcasted_iota(jnp.float32, (1, cap, 1), 1)
     i_bot = i_top + (h - cap)
     ok_caps = ((jnp.max(jnp.abs(jnp.floor(v_top) - i_top)) <= cap_pad - 2)

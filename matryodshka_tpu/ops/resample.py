@@ -68,8 +68,12 @@ def _blend_quad(quad: Array, fx: Array, fy: Array, c: int) -> Array:
 
 
 def _floor_frac(coords: Array, h: int, w: int):
-    x = coords[..., 0].astype(jnp.float32)
-    y = coords[..., 1].astype(jnp.float32)
+    return _floor_frac_uv(coords[..., 0], coords[..., 1], h, w)
+
+
+def _floor_frac_uv(x: Array, y: Array, h: int, w: int):
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = x - x0f
@@ -100,6 +104,18 @@ def resample_layers(layers: Array, coords: Array) -> Array:
     """
     p, h, w, c = layers.shape
     x0, y0, fx, fy = _floor_frac(coords, h, w)
+    return _resample_layers_idx(layers, x0, y0, fx, fy)
+
+
+def resample_layers_uv(layers: Array, u: Array, v: Array) -> Array:
+    """Channel-first twin of resample_layers: u, v each [P, ...]."""
+    p, h, w, c = layers.shape
+    x0, y0, fx, fy = _floor_frac_uv(u, v, h, w)
+    return _resample_layers_idx(layers, x0, y0, fx, fy)
+
+
+def _resample_layers_idx(layers: Array, x0, y0, fx, fy) -> Array:
+    p, h, w, c = layers.shape
     idx = y0 * w + x0
     outs = []
     for i in range(p):

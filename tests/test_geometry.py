@@ -330,3 +330,17 @@ def test_over_composite_jit_full_scale_after_transpose():
     got = np.asarray(composite_plane_major(jnp.asarray(proj)))
     exp = _loop_over_composite(np.moveaxis(proj, 0, 2))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_intersect_sphere_uv_matches_stacked():
+    """Channel-first intersect (hot-path form) == the stacked original."""
+    import jax.numpy as jnp
+    from matryodshka_tpu.geometry import intersect
+
+    radii = jnp.linspace(1.0, 50.0, 6)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.04, 0.01, -0.02]))
+    pos = jnp.asarray([0.04, 0.01, -0.02])
+    uv = intersect.intersect_sphere(pose, pos, radii, 64, 32)
+    u, v = intersect.intersect_sphere_uv(pose, pos, radii, 64, 32)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(uv[..., 0]))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(uv[..., 1]))
