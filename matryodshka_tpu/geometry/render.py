@@ -147,11 +147,31 @@ def _cap_over_band(band: Array, uv_rows: Array, vshift: float) -> Array:
 
 def _cap_over_band_uv(band: Array, u_rows: Array, v_rows: Array,
                       vshift: float) -> Array:
-    """Channel-first _cap_over_band: u_rows/v_rows each [P, cap, W]."""
+    """Channel-first _cap_over_band: u_rows/v_rows each [P, cap, W].
+
+    Composites plane-major/channel-first: the naive
+    over_composite(moveaxis(proj, 0, 2)) form puts the 4-wide channel
+    axis on lanes (4/128 = 3% lane utilization) for the cumprod and the
+    weighted reduce; transposing the small gathered stack once and
+    reducing over the leading plane axis keeps W on lanes throughout.
+    Same math as over_composite (layer 0 farthest, alpha treated as 1).
+    """
     from matryodshka_tpu.ops.resample import resample_layers_uv
     layers = jnp.moveaxis(band, 2, 0)  # [P, bandH, W, C]
     proj = resample_layers_uv(layers, u_rows, v_rows + vshift)
-    return over_composite(jnp.moveaxis(proj, 0, 2))
+    proj_pf = jnp.transpose(proj, (0, 3, 1, 2))   # [P, 4, cap, W]
+    out_pf = over_composite_pf(proj_pf[:, :3], proj_pf[:, 3])
+    return jnp.transpose(out_pf, (1, 2, 0))       # [cap, W, 3]
+
+
+def over_composite_pf(rgb: Array, alpha: Array) -> Array:
+    """Plane-major channel-first over-composite: rgb [P, 3, ...],
+    alpha [P, ...] -> [3, ...]. Identical math to over_composite with
+    the reduction on the LEADING axis (lane-friendly layout)."""
+    rcp = jax.lax.cumprod(1.0 - alpha, axis=0, reverse=True)
+    trans = jnp.concatenate([rcp[1:], jnp.ones_like(rcp[:1])], axis=0)
+    eff_alpha = alpha.at[0].set(1.0)
+    return jnp.sum(rgb * (eff_alpha * trans)[:, None], axis=0)
 
 
 def render_equirect_view(rgba_layers: Array, tgt_pose: Array, tgt_pos: Array,

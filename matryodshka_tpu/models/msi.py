@@ -151,8 +151,9 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
     Returns dict:
       prepared: [P, 4, H+2*pad, W] flipped + row-wrap-padded (dtype or
         fgF.dtype) — feed to pallas_render.render_mid_prepared.
-      cap_top, cap_bot: [cap(+2*cap_pad), W, P, 4] f32 UNflipped
-        channel-minor pole bands for the gather-path cap render.
+      cap_top, cap_bot: [cap(+2*cap_pad), W, P, 4] UNflipped
+        channel-minor pole bands (same dtype as `prepared`) for the
+        gather-path cap render.
     Same color math as assemble_rgba (msi.py:108-273), f32 blends.
     """
     from matryodshka_tpu.ops import pallas_render
@@ -205,7 +206,11 @@ def _finish_prepared(rgbF: Array, alphaF: Array, h: int, pad: int,
     def _cap_band(lo_wrap, hi):
         bandF = jnp.concatenate([layersF[:, :, lo_wrap:],
                                  layersF[:, :, :hi]], axis=2)
-        return jnp.transpose(jnp.flip(bandF, axis=3), (2, 3, 0, 1))
+        # Same storage dtype as `prepared`: the cap gather packs/gathers
+        # in the band dtype, so bf16 bands halve the cap table traffic
+        # (blending stays f32 either way).
+        return jnp.transpose(jnp.flip(bandF, axis=3),
+                             (2, 3, 0, 1)).astype(dtype)
 
     cap_top = _cap_band(h - bp, cap + bp)
     cap_bot = _cap_band(h - cap - bp, bp)

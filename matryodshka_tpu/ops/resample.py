@@ -119,8 +119,11 @@ def _resample_layers_idx(layers: Array, x0, y0, fx, fy) -> Array:
     idx = y0 * w + x0
     outs = []
     for i in range(p):
-        packed = pack_quad(layers[i]).astype(jnp.float32)
-        quad = jnp.take(packed, idx[i], axis=0)
+        # Pack and gather in the SOURCE dtype (half the table-build and
+        # gather bytes for bf16 layers); converting the gathered quad is
+        # numerically identical to converting the whole table.
+        packed = pack_quad(layers[i])
+        quad = jnp.take(packed, idx[i], axis=0).astype(jnp.float32)
         outs.append(_blend_quad(quad, fx[i], fy[i], c))
     return jnp.stack(outs)
 
