@@ -129,14 +129,16 @@ def _residual_tables(u: Array, v: Array, cap: int, row_block: int,
     return klo, khi, mlo, mhi
 
 
-def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
-                   out_ref, rolled_ref, cvs_ref, acc_ref, *,
+def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, u_ref,
+                   v_ref, out_ref, rolled_ref, cvs_ref, acc_ref, *,
                    h_mid: int, width: int, cap: int, row_block: int,
                    kh_max: int, kv_max: int,
                    abs_row0: int = None, band_origin: int = None,
                    cache_cvs: bool = True):
     """Grid (P,). layer_ref: [1, 4, bandH, W] flipped+row-wrap-padded
-    shell p (VMEM); uv_ref: [1, 2, Hm, W]; out_ref: [3, Hm, W] revisited
+    shell p (VMEM); u_ref/v_ref: [1, Hm, W] each (separate operands —
+    a stacked [P, 2, Hm, W] field costs a 47 MB XLA concat pass);
+    out_ref: [3, Hm, W] revisited
     across shells (the running composite). Scratch: rolled [4, band, W]
     (the block's row band, lane-rotated by the current horizontal rung),
     cvs [MV, R, W] (vertical rung coefficients; unused when cache_cvs
@@ -160,8 +162,8 @@ def _render_kernel(klo_ref, khi_ref, mlo_ref, mhi_ref, layer_ref, uv_ref,
 
     def block_body(blk, _):
         base = blk * row_block
-        u = uv_ref[0, 0, pl.ds(base, row_block), :]
-        v = uv_ref[0, 1, pl.ds(base, row_block), :]
+        u = u_ref[0, pl.ds(base, row_block), :]
+        v = v_ref[0, pl.ds(base, row_block), :]
 
         j = jax.lax.broadcasted_iota(
             jnp.int32, (row_block, width), 1).astype(jnp.float32)
@@ -291,7 +293,8 @@ def _unpack2(t):
 
 
 def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
-                         uv_ref, out_ref, rolled_ref, cvs_ref, acc_ref, *,
+                         u_ref, v_ref, out_ref, rolled_ref, cvs_ref,
+                         acc_ref, *,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None):
@@ -326,8 +329,8 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     def block_body(blk, _):
         base = blk * row_block
         bs = pl.multiple_of(abs_row0 + base - band_lead - band_origin, 8)
-        u = uv_ref[0, 0, pl.ds(base, row_block), :]
-        v = uv_ref[0, 1, pl.ds(base, row_block), :]
+        u = u_ref[0, pl.ds(base, row_block), :]
+        v = v_ref[0, pl.ds(base, row_block), :]
         j = jax.lax.broadcasted_iota(
             jnp.int32, (row_block, width), 1).astype(jnp.float32)
         i_abs = (jax.lax.broadcasted_iota(
@@ -426,15 +429,16 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret"))
-def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
-                       cap: int, row_block: int, kh_max: int, kv_max: int,
-                       wb: int = None,
-                       interpret: bool = False) -> Array:
-    """layers_flipped_padded: [P, 4, H+2*pad, W] f32; uvm: [P, 2, Hm, W].
+def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
+                          cap: int, row_block: int, kh_max: int,
+                          kv_max: int, wb: int = None,
+                          interpret: bool = False) -> Array:
+    """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
+    (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
     composited mid rows [Hm, W, 3]."""
     p, c, hpad, w = layers_flipped_padded.shape
-    hm = uvm.shape[2]
+    hm = u.shape[1]
     assert c == 4 and hm % row_block == 0, (c, hm, row_block)
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
     assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
@@ -443,7 +447,7 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         assert w % wb == 0 and wb % 128 == 0, (w, wb)
 
     klo, khi, mlo, mhi = _residual_tables(
-        uvm[:, 0], uvm[:, 1], cap, row_block, kh_max, kv_max, wb=wb)
+        u, v, cap, row_block, kh_max, kv_max, wb=wb)
     if wb is None:
         tables = (klo, khi, mlo, mhi)
     else:
@@ -455,7 +459,9 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         in_specs=[
             pl.BlockSpec((1, 4, hpad, w), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, hm, w), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, hm, w), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hm, w), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, hm, w), lambda i, *_: (0, 0, 0),
@@ -485,8 +491,18 @@ def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*tables, layers_flipped_padded, uvm)
+    )(*tables, layers_flipped_padded, u, v)
     return jnp.transpose(out, (1, 2, 0))
+
+
+def _ladder_render_mid(layers_flipped_padded: Array, uvm: Array,
+                       cap: int, row_block: int, kh_max: int, kv_max: int,
+                       wb: int = None,
+                       interpret: bool = False) -> Array:
+    """Stacked-uv compatibility wrapper: uvm [P, 2, Hm, W]."""
+    return _ladder_render_mid_uv(layers_flipped_padded, uvm[:, 0],
+                                 uvm[:, 1], cap, row_block, kh_max,
+                                 kv_max, wb=wb, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -519,7 +535,9 @@ def _ladder_render_chunk(layer_band: Array, uvm_chunk: Array,
         in_specs=[
             pl.BlockSpec((1, 4, bandh, w), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, nr, w), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, nr, w), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nr, w), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, nr, w), lambda i, *_: (0, 0, 0),
@@ -542,7 +560,7 @@ def _ladder_render_chunk(layer_band: Array, uvm_chunk: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(klo, khi, mlo, mhi, layer_band, uvm_chunk)
+    )(klo, khi, mlo, mhi, layer_band, uvm_chunk[:, 0], uvm_chunk[:, 1])
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -632,9 +650,9 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
                            wb="auto",
                            interpret: bool = False) -> Array:
     """Channel-first twin of render_mid_prepared: u, v each [P, H, W]
-    (full height; mid rows are sliced here). Builds the kernel's
-    [P, 2, Hm, W] operand with a cheap channel-major stack instead of
-    transposing a channel-minor [..., 2] field."""
+    (full height; mid rows are sliced here). Passes u and v as separate
+    kernel operands — stacking them into a [P, 2, Hm, W] field costs a
+    ~47 MB XLA concat pass at 640x320x32."""
     p, c, hpad, w = prepared.shape
     h = u.shape[1]
     geom = prepared_geometry(h, w, cap, row_block)
@@ -642,10 +660,11 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     kv_max = geom["kv_max"] if kv_max is None else kv_max
     if wb == "auto":
         wb = default_wb(w)
-    uvm = jnp.stack([u[:, cap:h - cap], v[:, cap:h - cap]], axis=1)
-    return _ladder_render_mid(prepared, uvm.astype(jnp.float32), cap,
-                              row_block, kh_max, kv_max, wb=wb,
-                              interpret=interpret)
+    return _ladder_render_mid_uv(prepared,
+                                 u[:, cap:h - cap].astype(jnp.float32),
+                                 v[:, cap:h - cap].astype(jnp.float32),
+                                 cap, row_block, kh_max, kv_max, wb=wb,
+                                 interpret=interpret)
 
 
 def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,
