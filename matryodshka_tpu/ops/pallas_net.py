@@ -176,10 +176,13 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
                    flipped: bool = False) -> List[Array]:
     """Flax MSIUNet (variant='wrap') param tree -> flat kernel operands.
 
-    Per layer: conv/down -> [L0, L1, L2 ([cout, 3cin] dx-grouped), bias,
-    gamma, beta]; deconv -> per source s, per (da, db, kb) the lhs
-    [cout, 2*cin_s] (ka merged into K, subpixel identity of
-    models/unet.py:124-131), then bias, gamma, beta; head -> [L, bias].
+    Per layer: conv/down -> [L ([3*cout, 3cin]: the dx-grouped lhs
+    STACKED on M — one MXU dot computes all three dx taps from one rhs
+    read, and cout=64 stages fill whole 128-row M tiles), bias, gamma,
+    beta]; deconv -> per source s, per da the [4*cout, 2*cin_s] lhs
+    stacking the four (db, kb) taps (ka merged into K, subpixel
+    identity of models/unet.py:124-131), then bias, gamma, beta;
+    head -> [L, bias].
 
     flipped=True prepares the HORIZONTALLY-FLIPPED net: with these
     operands (and flipped=True selectors from static_operands) the
@@ -206,13 +209,16 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
         k = jnp.asarray(lp["kernel"])
         if kind in ("conv", "down"):
             lhs = _conv_lhs(k, dtype)
-            ops += lhs[::-1] if flipped else lhs
+            if flipped:
+                lhs = lhs[::-1]
+            ops.append(jnp.concatenate(lhs, axis=0))   # [3*cout, 3cin]
         elif kind == "deconv":
             off = 0
             for cs in cins:
                 ks = k[:, :, off:off + cs]
                 off += cs
                 for da in range(2):
+                    subs = []
                     for db_s in range(2):
                         for kb_s in range(2):
                             db = 1 - db_s if flipped else db_s
@@ -222,8 +228,9 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
                                 [jnp.transpose(ks[da + 2 * ka, db + 2 * kb],
                                                (1, 0)) for ka in range(2)],
                                 axis=1)          # [cout, 2, cs]
-                            ops.append(sub.reshape(cout, 2 * cs)
-                                       .astype(dtype))
+                            subs.append(sub.reshape(cout, 2 * cs)
+                                        .astype(dtype))
+                    ops.append(jnp.concatenate(subs, axis=0))
         elif kind == "head":
             ops.append(jnp.transpose(k[0, 0], (1, 0)).astype(dtype))
         ops.append(jnp.asarray(lp["bias"], jnp.float32).reshape(cout, 1))
@@ -449,7 +456,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
     # operand layout
     def n_ops(kind, nsrc):
-        return {"head": 2, "deconv": nsrc * 8 + 3}.get(kind, 6)
+        return {"head": 2, "deconv": nsrc * 2 + 3}.get(kind, 4)
 
     n_x_ops = 2 if planar_x else 1
     total_params = n_x_ops + sum(n_ops(k, len(s))
@@ -693,7 +700,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             stats[si, 1] = 0.0
 
             if kind in ("conv", "down"):
-                L0, L1, L2, bias, gamma, beta = take(6)
+                Lst, bias, gamma, beta = take(4)
                 ln_params[si] = (gamma, beta)
                 stride = 2 if kind == "down" else 1
                 sc = cins[0]
@@ -708,15 +715,14 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     # row-group loop is python-unrolled (rb/r_pack
                     # iterations). conv1_1 only: stride=1, rate=1,
                     # sel=None, sw == swp (input width 128-aligned).
-                    def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
-                               L1=L1, L2=L2, bias=bias, sc=sc, sw=sw,
+                    def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
+                               bias=bias, sc=sc, sw=sw, cout=cout,
                                si=si, rb=rb, r_pack=r_pack,
                                ob_i=scr["oband"],
                                pack_i=scr.get("pack_rhs")):
                         win = vrefs[vref_i]
                         ob = vrefs[ob_i]
                         swp = win.shape[-1]
-                        Ls = (L0, L1, L2)
                         for rp in range(rb // r_pack):
                             base = rp * r_pack
                             if r_pack > 1:
@@ -728,25 +734,22 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                             win[slot, :,
                                                 base + k + dy, :]
                                 rhs = rhsb[0:3 * sc, 0:r_pack * swp]
-                                ys = [jnp.dot(
-                                    L[:, :], rhs,
+                                y = jnp.dot(
+                                    Lst[:, :], rhs,
                                     preferred_element_type=jnp.float32)
-                                    for L in Ls]
                             else:
-                                ys = [None, None, None]
+                                y = None
                                 for dy in range(3):
                                     rr = win[slot, :, base + dy, :]
-                                    for xi, L in enumerate(Ls):
-                                        t = jnp.dot(
-                                            L[:, dy * sc:(dy + 1) * sc],
-                                            rr,
-                                            preferred_element_type=jnp.float32)
-                                        ys[xi] = (t if ys[xi] is None
-                                                  else ys[xi] + t)
-                            dense = (_wrap_roll(ys[0], 1, sw, swp)
-                                     + ys[1]
-                                     + _wrap_roll(ys[2], sw - 1, sw,
-                                                  swp)
+                                    t = jnp.dot(
+                                        Lst[:, dy * sc:(dy + 1) * sc],
+                                        rr,
+                                        preferred_element_type=jnp.float32)
+                                    y = t if y is None else y + t
+                            dense = (_wrap_roll(y[0:cout], 1, sw, swp)
+                                     + y[cout:2 * cout]
+                                     + _wrap_roll(y[2 * cout:3 * cout],
+                                                  sw - 1, sw, swp)
                                      + bias[:, :])
                             rowq = dense.astype(dtype)
                             for k in range(r_pack):
@@ -762,9 +765,9 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     continue
 
                 if r_pack > 1:
-                    def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0,
-                               L1=L1, L2=L2, bias=bias, rate=rate,
-                               stride=stride, sel=sel,
+                    def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
+                               bias=bias, rate=rate,
+                               stride=stride, sel=sel, cout=cout,
                                sc=sc, sw=sw, si=si, rb=rb,
                                r_pack=r_pack, ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
@@ -783,18 +786,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                             stride * (base + k)
                                             + dy * rate, :, :]
                             rhs = rhsb[0:3 * sc, 0:r_pack * swp]
-                            y0 = jnp.dot(
-                                L0[:, :], rhs,
+                            y = jnp.dot(
+                                Lst[:, :], rhs,
                                 preferred_element_type=jnp.float32)
-                            y1 = jnp.dot(
-                                L1[:, :], rhs,
-                                preferred_element_type=jnp.float32)
-                            y2 = jnp.dot(
-                                L2[:, :], rhs,
-                                preferred_element_type=jnp.float32)
-                            dense = (_wrap_roll(y0, rate, sw, swp) + y1
-                                     + _wrap_roll(y2, sw - rate, sw,
-                                                  swp)
+                            dense = (_wrap_roll(y[0:cout], rate, sw, swp)
+                                     + y[cout:2 * cout]
+                                     + _wrap_roll(y[2 * cout:3 * cout],
+                                                  sw - rate, sw, swp)
                                      + bias[:, :])
                             if sel is not None:
                                 # per-slot one-hot downsample (zero pad
@@ -833,8 +831,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                           row_fn)
                     continue
 
-                def row_fn(b, slot, oslot, vref_i=vref_i, L0=L0, L1=L1,
-                           L2=L2, bias=bias, stride=stride, rate=rate,
+                def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
+                           bias=bias, stride=stride, rate=rate,
                            sel=sel, sc=sc, sw=sw, si=si, cout=cout,
                            rb=rb, ob_i=scr["oband"]):
                     win = vrefs[vref_i]
@@ -847,28 +845,19 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         if rate == 1:
                             rhs = win[slot, pl.ds(base, 3),
                                       :, :].reshape(3 * sc, swp)
-                            y0 = jnp.dot(L0[:, :], rhs,
-                                         preferred_element_type=jnp.float32)
-                            y1 = jnp.dot(L1[:, :], rhs,
-                                         preferred_element_type=jnp.float32)
-                            y2 = jnp.dot(L2[:, :], rhs,
-                                         preferred_element_type=jnp.float32)
+                            y = jnp.dot(Lst[:, :], rhs,
+                                        preferred_element_type=jnp.float32)
                         else:
-                            y0 = y1 = y2 = jnp.zeros((cout, swp),
-                                                     jnp.float32)
+                            y = jnp.zeros((3 * cout, swp), jnp.float32)
                             for dy in range(3):
                                 rr = win[slot, base + dy * rate, :, :]
-                                y0 += jnp.dot(
-                                    L0[:, dy * sc:(dy + 1) * sc], rr,
+                                y += jnp.dot(
+                                    Lst[:, dy * sc:(dy + 1) * sc], rr,
                                     preferred_element_type=jnp.float32)
-                                y1 += jnp.dot(
-                                    L1[:, dy * sc:(dy + 1) * sc], rr,
-                                    preferred_element_type=jnp.float32)
-                                y2 += jnp.dot(
-                                    L2[:, dy * sc:(dy + 1) * sc], rr,
-                                    preferred_element_type=jnp.float32)
-                        dense = (_wrap_roll(y0, rate, sw) + y1
-                                 + _wrap_roll(y2, sw - rate, sw)
+                        dense = (_wrap_roll(y[0:cout], rate, sw)
+                                 + y[cout:2 * cout]
+                                 + _wrap_roll(y[2 * cout:3 * cout],
+                                              sw - rate, sw)
                                  + bias[:, :])
                         if sel is not None:
                             # one-hot has zero pad rows/cols: output
@@ -896,7 +885,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
             elif kind == "deconv":
                 nsrc = len(srcs)
-                Ls = take(nsrc * 8)
+                Ls = take(nsrc * 2)        # [4*cout, 2cs] per (src, da)
                 bias, gamma, beta = take(3)
                 ln_params[si] = (gamma, beta)
                 dw = bufs_meta[name][3]
@@ -908,7 +897,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 if r_pack > 1:
                     def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
                                e1=e1, si=si, rb=rb, src_dims=src_dims,
-                               scr=scr, r_pack=r_pack,
+                               scr=scr, r_pack=r_pack, cout=cout,
                                ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
                         ob = vrefs[ob_i]
@@ -932,13 +921,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                                     :, :]
                                     rhs = rhsb[0:2 * cs,
                                                0:r_pack * swp]
+                                    y = jnp.dot(
+                                        Ls[wi * 2 + da][:, :], rhs,
+                                        preferred_element_type=jnp.float32)
                                     for db in range(2):
                                         for kb in range(2):
-                                            Lk = Ls[wi * 8 + da * 4
-                                                    + db * 2 + kb]
-                                            yk = jnp.dot(
-                                                Lk[:, :], rhs,
-                                                preferred_element_type=jnp.float32)
+                                            co = (db * 2 + kb) * cout
+                                            yk = y[co:co + cout]
                                             sh = db + kb - 1
                                             if sh == 1:
                                                 yk = _wrap_roll(
@@ -984,30 +973,29 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
                     def one(il, _):
                         for da in range(2):
-                            parts = []
-                            for db in range(2):
-                                acc = None
-                                for wi, (cs, sws) in enumerate(src_dims):
-                                    win = vrefs[scr["wins"][wi][0]]
-                                    swp_s = win.shape[-1]
-                                    rhs = win[slot, pl.ds(il + da, 2),
-                                              :, :].reshape(2 * cs,
-                                                            swp_s)
+                            parts = [None, None]
+                            for wi, (cs, sws) in enumerate(src_dims):
+                                win = vrefs[scr["wins"][wi][0]]
+                                swp_s = win.shape[-1]
+                                rhs = win[slot, pl.ds(il + da, 2),
+                                          :, :].reshape(2 * cs, swp_s)
+                                y = jnp.dot(
+                                    Ls[wi * 2 + da][:, :], rhs,
+                                    preferred_element_type=jnp.float32)
+                                for db in range(2):
                                     for kb in range(2):
-                                        Lk = Ls[wi * 8 + da * 4
-                                                + db * 2 + kb]
-                                        yk = jnp.dot(
-                                            Lk[:, :], rhs,
-                                            preferred_element_type=jnp.float32)
+                                        co = (db * 2 + kb) * cout
+                                        yk = y[co:co + cout]
                                         sh = db + kb - 1
                                         if sh == 1:
                                             yk = _wrap_roll(yk, sws - 1,
                                                             sws)
                                         elif sh == -1:
                                             yk = _wrap_roll(yk, 1, sws)
-                                        acc = (yk if acc is None
-                                               else acc + yk)
-                                parts.append(acc + bias[:, :])
+                                        parts[db] = (
+                                            yk if parts[db] is None
+                                            else parts[db] + yk)
+                            parts = [pp + bias[:, :] for pp in parts]
                             row = (jnp.dot(
                                 parts[0].astype(dtype), e0[:, :],
                                 preferred_element_type=jnp.float32)
