@@ -531,13 +531,30 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             b_vec = beta[:, :] - mean * a_vec
             return a_vec, b_vec
 
+        def norm_row(row, av, pad_row):
+            """Fused LN+relu of one window row [C, W] applied DURING the
+            rhs-pack read (the packed row_fns' copies), replacing the
+            separate normalize_win pass. pad_row (traced scalar bool)
+            selects the identity affine so zero pad rows stay exactly
+            zero (relu(0*1+0) == 0; the real affine's beta would leak)."""
+            if av is None:
+                return row
+            a_vec, b_vec = av
+            aa = jnp.where(pad_row, 1.0, a_vec)
+            bb = jnp.where(pad_row, 0.0, b_vec)
+            y = jnp.maximum(row.astype(jnp.float32) * aa + bb, 0.0)
+            return y.astype(dtype)
+
         def stage(si, name, kind, srcs, cins, cout, outd, rate,
-                  row_fn):
+                  row_fn, fused_norm: bool = False):
             """Shared band loop: windows in, rows computed, band out.
 
-            row_fn(rl, wins, oband, oslot) computes output row(s) rl of
-            the current band from the window refs (local coordinates)
-            and writes into oband[oslot]."""
+            row_fn(rl, wins, oband, oslot[, norms]) computes output
+            row(s) rl of the current band from the window refs (local
+            coordinates) and writes into oband[oslot]. fused_norm:
+            row_fn applies LN+relu itself during its rhs packing (via
+            norm_row) and receives the per-source norm vectors; the
+            window-pass normalize_win is skipped."""
             scr = stage_scr[si]
             rb, nb = scr["rb"], scr["nb"]
             stride = 2 if kind == "down" else 1
@@ -680,11 +697,15 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         def _(wi=wi):
                             on_win(wi, b + 1, 1 - slot, "start")
                     on_win(wi, b, slot, "wait")
-                    normalize_win(wi, b, slot)
+                    if not fused_norm:
+                        normalize_win(wi, b, slot)
                 @pl.when(b >= oslots)
                 def _():
                     wait_flush(oslot)
-                row_fn(b, slot, oslot)
+                if fused_norm:
+                    row_fn(b, slot, oslot, norms)
+                else:
+                    row_fn(b, slot, oslot)
                 flush(b, oslot)
                 return 0
 
@@ -765,26 +786,37 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     continue
 
                 if r_pack > 1:
-                    def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
-                               bias=bias, rate=rate,
+                    srows0 = bufs_meta[srcs[0]][1]
+
+                    def row_fn(b, slot, oslot, norms, vref_i=vref_i,
+                               Lst=Lst, bias=bias, rate=rate,
                                stride=stride, sel=sel, cout=cout,
                                sc=sc, sw=sw, si=si, rb=rb,
-                               r_pack=r_pack, ob_i=scr["oband"],
+                               r_pack=r_pack, srows=srows0,
+                               ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
                         win = vrefs[vref_i]
                         ob = vrefs[ob_i]
                         rhsb = vrefs[pack_i]
                         swp = win.shape[-1]
+                        av = norms[0]
 
                         def one(rp, _):
                             base = rp * r_pack
                             for dy in range(3):
                                 for k in range(r_pack):
+                                    # real source row of this slot:
+                                    # pad rows take the identity affine
+                                    sr = (stride * (b * rb + base + k)
+                                          + (dy - 1) * rate)
+                                    pad_row = (sr < 0) | (sr >= srows)
                                     rhsb[dy * sc:(dy + 1) * sc,
                                          k * swp:(k + 1) * swp] = \
-                                        win[slot,
-                                            stride * (base + k)
-                                            + dy * rate, :, :]
+                                        norm_row(
+                                            win[slot,
+                                                stride * (base + k)
+                                                + dy * rate, :, :],
+                                            av, pad_row)
                             rhs = rhsb[0:3 * sc, 0:r_pack * swp]
                             y = jnp.dot(
                                 Lst[:, :], rhs,
@@ -828,7 +860,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         jax.lax.fori_loop(0, rb // r_pack, one, 0)
 
                     stage(si, name, kind, srcs, cins, cout, outd, rate,
-                          row_fn)
+                          row_fn, fused_norm=True)
                     continue
 
                 def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
@@ -895,8 +927,11 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 r_pack = scr["pack"]
 
                 if r_pack > 1:
-                    def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
-                               e1=e1, si=si, rb=rb, src_dims=src_dims,
+                    src_rows = [bufs_meta[s][1] for s in srcs]
+
+                    def row_fn(b, slot, oslot, norms, Ls=Ls, bias=bias,
+                               e0=e0, e1=e1, si=si, rb=rb,
+                               src_dims=src_dims, src_rows=src_rows,
                                scr=scr, r_pack=r_pack, cout=cout,
                                ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
@@ -911,14 +946,23 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                 for wi, (cs, sws) in \
                                         enumerate(src_dims):
                                     win = vrefs[scr["wins"][wi][0]]
+                                    srows = src_rows[wi]
+                                    av = norms[wi]
                                     for dy in range(2):
                                         for k in range(r_pack):
+                                            sr = (b * (rb // 2) - 1
+                                                  + base + k + da + dy)
+                                            pad_row = ((sr < 0)
+                                                       | (sr >= srows))
                                             rhsb[dy * cs:(dy + 1) * cs,
                                                  k * swp:
                                                  (k + 1) * swp] = \
-                                                win[slot,
-                                                    base + k + da + dy,
-                                                    :, :]
+                                                norm_row(
+                                                    win[slot,
+                                                        base + k
+                                                        + da + dy,
+                                                        :, :],
+                                                    av, pad_row)
                                     rhs = rhsb[0:2 * cs,
                                                0:r_pack * swp]
                                     y = jnp.dot(
@@ -962,7 +1006,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         jax.lax.fori_loop(0, rb // 2 // r_pack, one, 0)
 
                     stage(si, name, kind, srcs, cins, cout, outd, rate,
-                          row_fn)
+                          row_fn, fused_norm=True)
                     continue
 
                 def row_fn(b, slot, oslot, Ls=Ls, bias=bias, e0=e0,
@@ -1020,7 +1064,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 r_pack = scr["pack"]
 
                 if r_pack > 1:
-                    def row_fn(b, slot, oslot, L=L, bias=bias,
+                    def row_fn(b, slot, oslot, norms, L=L, bias=bias,
                                vref_i=scr["wins"][0][0], rb=rb,
                                sc=cins[0], r_pack=r_pack,
                                ob_i=scr["oband"],
@@ -1029,12 +1073,15 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         ob = vrefs[ob_i]
                         rhsb = vrefs[pack_i]
                         swp = win.shape[-1]
+                        av = norms[0]
+                        never_pad = jnp.bool_(False)  # 1x1: real rows only
 
                         def one(rp, _):
                             base = rp * r_pack
                             for k in range(r_pack):
                                 rhsb[0:sc, k * swp:(k + 1) * swp] = \
-                                    win[slot, base + k + 1, :, :]
+                                    norm_row(win[slot, base + k + 1,
+                                                 :, :], av, never_pad)
                             y = jnp.dot(
                                 L[:, :], rhsb[0:sc, 0:r_pack * swp],
                                 preferred_element_type=jnp.float32)
@@ -1045,6 +1092,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                             return 0
 
                         jax.lax.fori_loop(0, rb // r_pack, one, 0)
+
+                    stage(si, name, kind, srcs, cins, cout, outd, rate,
+                          row_fn, fused_norm=True)
+                    continue
                 else:
                     def row_fn(b, slot, oslot, L=L, bias=bias,
                                vref_i=scr["wins"][0][0], rb=rb,
