@@ -196,11 +196,16 @@ def assemble_rgba_prepared(which_color_pred: str, msi_pred: Array,
 def _finish_prepared(rgbF: Array, alphaF: Array, h: int, pad: int,
                      cap: int, cap_pad: int, dtype) -> Dict[str, Array]:
     """Shared tail of the prepared assembles: wrap-pad rows into the
-    ladder layout and cut the two pole-cap gather bands."""
-    layersF = jnp.concatenate([rgbF, alphaF[:, None]], axis=1)  # [P,4,H,W]
+    ladder layout and cut the two pole-cap gather bands.
+
+    The storage-dtype cast happens BEFORE the row-pad/band concats (the
+    per-element cast commutes with concatenation, so outputs are
+    bit-identical) — concatenating in f32 and casting after would move
+    every byte twice at double width."""
+    layersF = jnp.concatenate([rgbF, alphaF[:, None]],
+                              axis=1).astype(dtype)         # [P,4,H,W]
     prepared = jnp.concatenate([layersF[:, :, h - pad:], layersF,
-                                layersF[:, :, :pad]],
-                               axis=2).astype(dtype)
+                                layersF[:, :, :pad]], axis=2)
     bp = cap_pad
 
     def _cap_band(lo_wrap, hi):
@@ -209,8 +214,7 @@ def _finish_prepared(rgbF: Array, alphaF: Array, h: int, pad: int,
         # Same storage dtype as `prepared`: the cap gather packs/gathers
         # in the band dtype, so bf16 bands halve the cap table traffic
         # (blending stays f32 either way).
-        return jnp.transpose(jnp.flip(bandF, axis=3),
-                             (2, 3, 0, 1)).astype(dtype)
+        return jnp.transpose(jnp.flip(bandF, axis=3), (2, 3, 0, 1))
 
     cap_top = _cap_band(h - bp, cap + bp)
     cap_bot = _cap_band(h - cap - bp, bp)
