@@ -46,6 +46,71 @@ def main():
     if "--sweeps" in sys.argv:
         from tools import exp_ladder_rb_wb
         phase("ladder rb/wb sweep", exp_ladder_rb_wb.main)
+        phase("cap sweep", cap_sweep)
+
+
+def cap_sweep():
+    """CAP_ROWS trade: fewer gather-cap rows (the expensive per-row
+    stage) vs wider ladder rung bounds near the new cap boundary."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matryodshka_tpu.geometry import intersect
+    from matryodshka_tpu.geometry import render as render_geo
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.ops import pallas_render as pr
+
+    H, W, P = 320, 640, 32
+    rng = np.random.RandomState(0)
+    radii = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    pose = jnp.eye(4)
+    rgba = jnp.asarray(rng.rand(H, W, P, 4).astype(np.float32))
+    CHAIN = 20
+
+    def timeit(fn, *args, iters=3, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        import time
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
+
+    for tname, tgt in (("bench", jnp.asarray([0.05, 0.0, 0.0])),
+                       ("diag", jnp.asarray([0.05, 0.05, 0.05]))):
+        uv = jax.block_until_ready(
+            intersect.intersect_sphere(pose, tgt, radii, W, H))
+        for cap in (8, 12, 16, 24):
+            kh, kv = pr.default_bounds(H, W, cap)
+            layers = jax.block_until_ready(pr.prepare_layers(
+                rgba, cap, pr.ROW_BLOCK, kv, jnp.bfloat16))
+            bp = render_geo._cap_band_pad(H, W, cap)
+
+            def full(lay, uv, cap=cap, kh=kh, kv=kv, bp=bp):
+                def body(_, l):
+                    um = jnp.transpose(uv[:, cap:H - cap],
+                                       (0, 3, 1, 2)).astype(jnp.float32)
+                    mid = pr._ladder_render_mid(l, um, cap,
+                                                pr.ROW_BLOCK, kh, kv,
+                                                wb=pr.default_wb(W))
+                    top = render_geo._cap_over(rgba, uv[:, :cap], True,
+                                               cap)
+                    bot = render_geo._cap_over(rgba, uv[:, H - cap:],
+                                               False, cap)
+                    out = jnp.concatenate([top, mid, bot], axis=0)
+                    return l + out.mean().astype(l.dtype) * 1e-6
+                return jax.lax.fori_loop(0, CHAIN, body, lay)
+
+            try:
+                ms = timeit(jax.jit(full), layers, uv)
+                print(f"[cap] pose={tname} cap={cap} kh={kh} kv={kv} "
+                      f"bp={bp}: mid+caps {ms:.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[cap] pose={tname} cap={cap}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
