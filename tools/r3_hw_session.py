@@ -44,6 +44,8 @@ def main():
     phase("bench", bench.main)
 
     if "--sweeps" in sys.argv:
+        from tools import bench_net_stages
+        phase("net stage-prefix", bench_net_stages.main)
         from tools import exp_ladder_rb_wb
         phase("ladder rb/wb sweep", exp_ladder_rb_wb.main)
         phase("cap sweep", cap_sweep)
