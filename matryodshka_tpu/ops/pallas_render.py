@@ -427,6 +427,223 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     jax.lax.fori_loop(0, nblk, block_body, 0)
 
 
+def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
+                       band_ref, rolled_ref, cvs_ref, acc_ref, t_ref,
+                       copy_sem, *, width: int, wb: int, cap: int,
+                       row_block: int, kh_max: int, kv_max: int,
+                       planes: int, eps: float):
+    """Block-major FRONT-TO-BACK ladder with early ray termination.
+
+    Grid (NBLK,): each program renders one row block across ALL shells,
+    walking planes nearest-first and accumulating
+        out += rgb_p * a_p * T,   T *= (1 - a_p)
+    (the farthest shell contributes rgb_0 * T with its alpha treated as
+    1, matching projector.py:246-265 — algebraically identical to the
+    back-to-front recurrence). Once every pixel of the block satisfies
+    T < eps, the remaining (farther) shells cannot change the output by
+    more than eps and the whole per-plane body — band convert, roll
+    chains, rung FMA — is skipped; tiles are additionally culled
+    individually by their own T maximum. eps=0 disables culling and
+    reproduces the plane-major kernels' sums exactly up to f32
+    compositing association.
+
+    The layer stack arrives in ANY/HBM space; each program DMAs its own
+    [P, 4, band, W] row band (BlockSpec windows cannot overlap, and
+    neighbouring blocks share band rows)."""
+    blk = pl.program_id(0)
+    nt = width // wb if wb else 1
+    wbw = wb if wb else width
+    band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+
+    base_abs = cap + blk * row_block
+    g0 = pl.multiple_of(base_abs - band_lead + pad, 8)
+    cp = pltpu.make_async_copy(
+        layer_hbm.at[:, :, pl.ds(g0, band), :], band_ref, copy_sem)
+    cp.start()
+
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, width), 1).astype(jnp.float32)
+    i_abs = (jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, width), 0).astype(jnp.float32)
+        + base_abs.astype(jnp.float32))
+
+    out_ref[:, :, :] = jnp.zeros((3, row_block, width), jnp.float32)
+    t_ref[:, :] = jnp.ones((row_block, width), jnp.float32)
+    cp.wait()
+
+    def plane_body(pi, alive):
+        p = planes - 1 - pi
+
+        @pl.when(alive > 0)
+        def _():
+            u = u_ref[p, :, :]
+            v = v_ref[p, :, :]
+            x0f = jnp.floor(u)
+            fx = u - x0f
+            dk_raw = (width - 1.0) - x0f - j
+            dk = dk_raw - width * jnp.floor(
+                (dk_raw + width / 2.0) / width)
+            dk = jnp.clip(dk, -kh_max, kh_max)
+            y0f = jnp.floor(v)
+            fy = v - y0f
+            dy = jnp.clip(y0f - i_abs, -kv_max, kv_max)
+
+            bounds = [(_unpack2(kt_ref[p, blk, t]),
+                       _unpack2(mt_ref[p, blk, t])) for t in range(nt)]
+            talive = [jnp.max(t_ref[:, t * wbw:(t + 1) * wbw]) >= eps
+                      for t in range(nt)]
+            gklo = functools.reduce(jnp.minimum,
+                                    [k[0] for k, _ in bounds])
+            gkhi = functools.reduce(jnp.maximum,
+                                    [k[1] for k, _ in bounds])
+            gmlo = functools.reduce(jnp.minimum,
+                                    [m[0] for _, m in bounds])
+            gmhi = functools.reduce(jnp.maximum,
+                                    [m[1] for _, m in bounds])
+
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                def _(mi=mi, m=m):
+                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                         + fy * (dy == m - 1))
+
+            acc_ref[:, :, :] = jnp.zeros((4, row_block, width),
+                                         acc_ref.dtype)
+
+            def rungs(k):
+                kf = k.astype(jnp.float32)
+                for t in range(nt):
+                    (tklo, tkhi), (tmlo, tmhi) = bounds[t]
+
+                    @pl.when((k >= tklo - 1) & (k <= tkhi) & talive[t])
+                    def _(t=t, tmlo=tmlo, tmhi=tmhi):
+                        c0 = t * wbw
+                        ch = ((1.0 - fx[:, c0:c0 + wbw])
+                              * (dk[:, c0:c0 + wbw] == kf)
+                              + fx[:, c0:c0 + wbw]
+                              * (dk[:, c0:c0 + wbw] == kf + 1.0))
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            @pl.when((m >= tmlo) & (m <= tmhi + 1))
+                            def _(mi=mi, m=m, t=t, ch=ch):
+                                c0 = t * wbw
+                                coef = ch * cvs_ref[mi, :,
+                                                    c0:c0 + wbw]
+                                tap = rolled_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wbw]
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + (coef[None] * tap).astype(
+                                        acc_ref.dtype))
+
+            rolled_ref[:, :, :] = band_ref[p].astype(jnp.float32)
+
+            def k_up(i, _):
+                rungs(i)
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 width - 1, axis=2)
+                return 0
+
+            jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+
+            @pl.when(gklo - 1 < 0)
+            def _():
+                rolled_ref[:, :, :] = band_ref[p].astype(jnp.float32)
+
+            def k_down(i, _):
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 1, axis=2)
+                rungs(-1 - i)
+                return 0
+
+            jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
+
+            rgb_w = acc_ref[0:3, :, :].astype(jnp.float32)
+            a_w = acc_ref[3, :, :].astype(jnp.float32)
+            trans = t_ref[:, :]
+
+            @pl.when(p > 0)
+            def _():
+                out_ref[:, :, :] = (out_ref[:, :, :]
+                                    + rgb_w * (a_w * trans)[None])
+                t_ref[:, :] = trans * (1.0 - a_w)
+
+            @pl.when(p == 0)
+            def _():
+                # farthest shell: alpha treated as 1
+                out_ref[:, :, :] = out_ref[:, :, :] + rgb_w * trans[None]
+
+        return jnp.where(alive > 0,
+                         (jnp.max(t_ref[:, :]) >= eps).astype(jnp.int32),
+                         0)
+
+    jax.lax.fori_loop(0, planes, plane_body, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
+                                             "kv_max", "wb", "eps",
+                                             "interpret"))
+def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
+                           v: Array, cap: int, row_block: int,
+                           kh_max: int, kv_max: int, wb: int = None,
+                           eps: float = 1e-6,
+                           interpret: bool = False) -> Array:
+    """Front-to-back block-major twin of _ladder_render_mid_uv. Same
+    operand layouts; compositing matches up to f32 association plus an
+    eps-bounded truncation of fully-saturated rays (eps=0 -> none)."""
+    p, c, hpad, w = layers_flipped_padded.shape
+    hm = u.shape[1]
+    assert c == 4 and hm % row_block == 0, (c, hm, row_block)
+    band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
+    mv = 2 * kv_max + 2
+    if wb is not None:
+        assert w % wb == 0 and wb % 128 == 0, (w, wb)
+    nblk = hm // row_block
+
+    klo, khi, mlo, mhi = _residual_tables(
+        u, v, cap, row_block, kh_max, kv_max, wb=wb)
+    kt, mt = _pack_tables(klo, khi, mlo, mhi)
+    if wb is None:
+        kt = kt[..., None]
+        mt = mt[..., None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((p, row_block, w), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, row_block, w), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, row_block, w), lambda i, *_: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((p, 4, band, w), layers_flipped_padded.dtype),
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((mv, row_block, w), jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
+            pltpu.VMEM((row_block, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel_ftb, width=w, wb=wb, cap=cap,
+                          row_block=row_block, kh_max=kh_max,
+                          kv_max=kv_max, planes=p, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(kt, mt, layers_flipped_padded, u, v)
+    return jnp.transpose(out, (1, 2, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
@@ -621,6 +838,15 @@ def default_wb(w: int):
     return 128 if (w % 128 == 0 and w >= 256) else None
 
 
+# Front-to-back block-major kernel with early ray termination
+# (_ladder_render_mid_ftb). Off until measured faster on hardware;
+# the TPU session A/Bs it. FTB_EPS bounds the truncation error of
+# culled (fully saturated) rays — keep well under the 1e-5 exactness
+# tests.
+DEFAULT_FTB = False
+FTB_EPS = 1e-6
+
+
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                         row_block: int = ROW_BLOCK,
                         kh_max: int = None, kv_max: int = None,
@@ -647,12 +873,13 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
                            cap: int = CAP_ROWS,
                            row_block: int = ROW_BLOCK,
                            kh_max: int = None, kv_max: int = None,
-                           wb="auto",
+                           wb="auto", ftb=None,
                            interpret: bool = False) -> Array:
     """Channel-first twin of render_mid_prepared: u, v each [P, H, W]
     (full height; mid rows are sliced here). Passes u and v as separate
     kernel operands — stacking them into a [P, 2, Hm, W] field costs a
-    ~47 MB XLA concat pass at 640x320x32."""
+    ~47 MB XLA concat pass at 640x320x32. ftb=None follows DEFAULT_FTB
+    (front-to-back early-termination kernel vs plane-major)."""
     p, c, hpad, w = prepared.shape
     h = u.shape[1]
     geom = prepared_geometry(h, w, cap, row_block)
@@ -660,11 +887,14 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     kv_max = geom["kv_max"] if kv_max is None else kv_max
     if wb == "auto":
         wb = default_wb(w)
-    return _ladder_render_mid_uv(prepared,
-                                 u[:, cap:h - cap].astype(jnp.float32),
-                                 v[:, cap:h - cap].astype(jnp.float32),
-                                 cap, row_block, kh_max, kv_max, wb=wb,
-                                 interpret=interpret)
+    ftb = DEFAULT_FTB if ftb is None else ftb
+    fn = _ladder_render_mid_ftb if ftb else _ladder_render_mid_uv
+    kw = {"eps": FTB_EPS} if ftb else {}
+    return fn(prepared,
+              u[:, cap:h - cap].astype(jnp.float32),
+              v[:, cap:h - cap].astype(jnp.float32),
+              cap, row_block, kh_max, kv_max, wb=wb,
+              interpret=interpret, **kw)
 
 
 def prepare_layers(rgba_layers: Array, cap: int = None, row_block: int = None,

@@ -153,3 +153,51 @@ def test_column_tiled_mid_matches_fullwidth(pos):
                                            wb=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("wb", [None, 128])
+def test_ftb_matches_plane_major(wb):
+    """Front-to-back early-termination kernel vs the plane-major ladder:
+    same rungs/taps, compositing differs only by f32 association plus an
+    eps-bounded truncation of saturated rays."""
+    Hc, Wc, Pc, CAP, RB = 96, 256, 8, 16, 32
+    rng = np.random.RandomState(3)
+    rgba = np.asarray(rng.rand(Hc, Wc, Pc, 4), np.float32)
+    rgba[..., 3] = np.clip(rgba[..., 3] * 1.5, 0, 1)  # saturating alphas
+    rgba = jnp.asarray(rgba)
+    kh, kv = pallas_render.default_bounds(Hc, Wc, CAP)
+    lay = pallas_render.prepare_layers(rgba, CAP, RB, kv)
+    hm = Hc - 2 * CAP
+    j = np.arange(Wc)[None, None, :]
+    i = np.arange(hm)[None, :, None] + CAP
+    du = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    dv = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    u = jnp.asarray(((Wc - 1) - j - du).astype(np.float32))
+    v = jnp.asarray((i + dv).astype(np.float32))
+    ref = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh, kv,
+                                              wb=wb, interpret=True)
+    for eps in (0.0, 1e-6):
+        got = pallas_render._ladder_render_mid_ftb(
+            lay, u, v, CAP, RB, kh, kv, wb=wb, eps=eps, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-5)
+
+
+def test_ftb_dispatch_via_prepared_cf():
+    """render_mid_prepared_cf(ftb=True) == (ftb=False) on a real pose."""
+    rng = np.random.RandomState(4)
+    layers = _layers(rng)
+    radii = _radii()
+    pose = jnp.eye(4)
+    tgt = jnp.asarray([0.03, -0.02, 0.04])
+    u, v = intersect.intersect_sphere_uv(pose, tgt, radii, W, H)
+    geom = pallas_render.prepared_geometry(H, W)
+    prep = pallas_render.prepare_layers(layers, geom["cap"],
+                                        geom["row_block"],
+                                        geom["kv_max"])
+    a = pallas_render.render_mid_prepared_cf(prep, u, v, ftb=False,
+                                             interpret=True)
+    b = pallas_render.render_mid_prepared_cf(prep, u, v, ftb=True,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=0, atol=2e-5)

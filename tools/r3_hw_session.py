@@ -43,12 +43,89 @@ def main():
     import bench
     phase("bench", bench.main)
 
+    phase("ftb A/B", ftb_ab)
+
     if "--sweeps" in sys.argv:
         from tools import bench_net_stages
         phase("net stage-prefix", bench_net_stages.main)
         from tools import exp_ladder_rb_wb
         phase("ladder rb/wb sweep", exp_ladder_rb_wb.main)
         phase("cap sweep", cap_sweep)
+
+
+def ftb_ab():
+    """Plane-major hybrid ladder vs the front-to-back early-termination
+    kernel, at the production shape, for random (non-saturating) and
+    saturating alpha content."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matryodshka_tpu.geometry import intersect
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.ops import pallas_render as pr
+
+    H, W, P, CAP, RB = 320, 640, 32, 16, 32
+    rng = np.random.RandomState(0)
+    radii = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    pose = jnp.eye(4)
+    kh, kv = pr.default_bounds(H, W, CAP)
+    CHAIN = 20
+
+    def timeit(fn, *args, iters=3, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
+
+    def make(fn, uvv, **kw):
+        u, v = uvv
+
+        @jax.jit
+        def chain(lay):
+            def body(_, l):
+                o = fn(l, u, v, CAP, RB, kh, kv, **kw)
+                return l + o.mean().astype(l.dtype) * 1e-6
+            return jax.lax.fori_loop(0, CHAIN, body, lay)
+        return chain
+
+    contents = {}
+    rgba = np.asarray(rng.rand(H, W, P, 4), np.float32)
+    contents["uniform"] = rgba.copy()
+    sat = rgba.copy()
+    sat[..., 3] = np.clip(sat[..., 3] * 1.5, 0, 1)
+    contents["saturating"] = sat
+    sparse = rgba.copy()   # trained-MSI-like: most shells transparent
+    sparse[..., 3] = np.where(rng.rand(H, W, P) < 0.12,
+                              sparse[..., 3] * 0.9 + 0.1, 0.015)
+    contents["sparse"] = sparse
+
+    for tname, tgt in (("bench", jnp.asarray([0.05, 0.0, 0.0])),
+                       ("diag", jnp.asarray([0.05, 0.05, 0.05]))):
+        u, v = intersect.intersect_sphere_uv(pose, tgt, radii, W, H)
+        um = jax.block_until_ready(u[:, CAP:H - CAP].astype(jnp.float32))
+        vm = jax.block_until_ready(v[:, CAP:H - CAP].astype(jnp.float32))
+        for cname, arr in contents.items():
+            lay = jax.block_until_ready(pr.prepare_layers(
+                jnp.asarray(arr), CAP, RB, kv, jnp.bfloat16))
+            pm = timeit(make(pr._ladder_render_mid_uv, (um, vm),
+                             wb=pr.default_wb(W)), lay)
+            try:
+                ftb = timeit(make(pr._ladder_render_mid_ftb, (um, vm),
+                                  wb=pr.default_wb(W),
+                                  eps=pr.FTB_EPS), lay)
+            except Exception as e:  # noqa: BLE001
+                print(f"[ftb] {tname}/{cname}: FTB FAIL "
+                      f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+                continue
+            print(f"[ftb] {tname}/{cname}: plane-major {pm:.2f} ms, "
+                  f"ftb {ftb:.2f} ms", flush=True)
 
 
 def cap_sweep():
