@@ -492,14 +492,22 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                        _unpack2(mt_ref[p, blk, t])) for t in range(nt)]
             talive = [jnp.max(t_ref[:, t * wbw:(t + 1) * wbw]) >= eps
                       for t in range(nt)]
-            gklo = functools.reduce(jnp.minimum,
-                                    [k[0] for k, _ in bounds])
-            gkhi = functools.reduce(jnp.maximum,
-                                    [k[1] for k, _ in bounds])
-            gmlo = functools.reduce(jnp.minimum,
-                                    [m[0] for _, m in bounds])
-            gmhi = functools.reduce(jnp.maximum,
-                                    [m[1] for _, m in bounds])
+            # rung/tap unions over ALIVE tiles only: tiles that
+            # saturated early (pole-adjacent ones do, fast) stop
+            # forcing long roll chains on the rest of the block.
+            big = jnp.int32(1 << 14)
+            gklo = functools.reduce(jnp.minimum, [
+                jnp.where(talive[t], bounds[t][0][0], big)
+                for t in range(nt)])
+            gkhi = functools.reduce(jnp.maximum, [
+                jnp.where(talive[t], bounds[t][0][1], -big)
+                for t in range(nt)])
+            gmlo = functools.reduce(jnp.minimum, [
+                jnp.where(talive[t], bounds[t][1][0], big)
+                for t in range(nt)])
+            gmhi = functools.reduce(jnp.maximum, [
+                jnp.where(talive[t], bounds[t][1][1], -big)
+                for t in range(nt)])
 
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                 @pl.when((m >= gmlo) & (m <= gmhi + 1))
