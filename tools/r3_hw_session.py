@@ -43,6 +43,7 @@ def main():
     import bench
     phase("bench", bench.main)
 
+    phase("mosaic atan2/sqrt probe", mosaic_trig_probe)
     phase("ftb A/B", ftb_ab)
 
     if "--sweeps" in sys.argv:
@@ -51,6 +52,33 @@ def main():
         from tools import exp_ladder_rb_wb
         phase("ladder rb/wb sweep", exp_ladder_rb_wb.main)
         phase("cap sweep", cap_sweep)
+
+
+def mosaic_trig_probe():
+    """Can Mosaic lower atan2/sqrt/division on [8, 128] f32 tiles? Gates
+    moving intersect_sphere's projection INTO the render kernel (would
+    fold the 0.8 ms XLA uv+tables stage into the ladder)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        y = jnp.sqrt(x * x + 1.0)
+        o_ref[...] = jnp.arctan2(x, y)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 128),
+                    jnp.float32)
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
+    want = np.arctan2(np.asarray(x), np.sqrt(np.asarray(x) ** 2 + 1))
+    err = float(jnp.max(jnp.abs(out - want)))
+    print(f"[probe] atan2/sqrt in-kernel: OK, max err {err:.2e}",
+          flush=True)
 
 
 def ftb_ab():
