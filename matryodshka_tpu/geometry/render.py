@@ -289,6 +289,65 @@ def render_equirect_view_prepared(prepared: Array, cap_top: Array,
                         prepared, cap_top, cap_bot, u, v)
 
 
+def render_equirect_view_fused_blend(fgP: Array, bgP: Array, pred: Array,
+                                     cap_top: Array, cap_bot: Array,
+                                     tgt_pose: Array, tgt_pos: Array,
+                                     radii: Array, height: int, cap: int,
+                                     row_block: int, cap_pad: int,
+                                     vpad: int, depth: bool = False,
+                                     interpret: bool = False) -> Array:
+    """Novel ERP view straight from the sweep volumes + net prediction
+    (blend_psv): the assemble blend happens INSIDE the FTB ladder
+    kernel, so no [P, 4, H+2*pad, W] stack is ever written to HBM.
+    Same pose-contract safety as render_equirect_view_prepared: poses
+    whose residuals exceed the ladder/cap bounds take an XLA gather
+    branch reconstructed from the raw volumes (lax.cond)."""
+    from matryodshka_tpu.ops import pallas_render
+    p = fgP.shape[0]
+    h = height
+    w = fgP.shape[3]
+    u, v = intersect.intersect_sphere_uv(tgt_pose, tgt_pos, radii, w, h)
+    ok = pallas_render.residual_ok_uv(u, v, cap, cap_pad=cap_pad)
+
+    def fused_path(fgP, bgP, pred, cap_top, cap_bot, u, v):
+        mid = pallas_render.render_mid_fused_blend(
+            fgP, bgP, pred, u, v, vpad, cap, row_block, depth=depth,
+            interpret=interpret)
+        ct = _depthify_band(cap_top) if depth else cap_top
+        cb = _depthify_band(cap_bot) if depth else cap_bot
+        top = _cap_over_band_uv(ct, u[:, :cap], v[:, :cap],
+                                float(cap_pad))
+        bot = _cap_over_band_uv(cb, u[:, h - cap:], v[:, h - cap:],
+                                float(cap_pad + cap - h))
+        return jnp.concatenate([top, mid, bot], axis=0)
+
+    def gather_path(fgP, bgP, pred, cap_top, cap_bot, u, v):
+        # cold branch: full XLA assemble from the raw volumes
+        predF = jnp.transpose(pred, (1, 0, 2))            # [K, H, W]
+        blw = ((predF[:p] + 1.0) / 2.0)[:, None]
+        alw = (predF[p:2 * p] + 1.0) / 2.0
+        fgF = fgP[:, :, vpad:vpad + h].astype(jnp.float32)
+        bgF = bgP[:, :, vpad:vpad + h].astype(jnp.float32)
+        rgbF = blw * fgF + (1.0 - blw) * bgF
+        layersF = jnp.concatenate([rgbF, alw[:, None]], axis=1)
+        layers = jnp.transpose(jnp.flip(layersF, axis=3), (2, 3, 0, 1))
+        proj = _gather_layers(layers, jnp.stack([u, v], axis=-1))
+        rgba = jnp.moveaxis(proj, 0, 2)
+        return (over_composite_depth(rgba) if depth
+                else over_composite(rgba))
+
+    return jax.lax.cond(ok, fused_path, gather_path,
+                        fgP, bgP, pred, cap_top, cap_bot, u, v)
+
+
+def _depthify_band(band: Array) -> Array:
+    """[rows, W, P, 4] -> same with rgb = plane/P (depth identity)."""
+    p = band.shape[2]
+    vals = (jnp.arange(p, dtype=jnp.float32) / p)[None, None, :, None]
+    rgb = jnp.broadcast_to(vals, band.shape[:3] + (3,)).astype(band.dtype)
+    return jnp.concatenate([rgb, band[..., 3:4]], axis=-1)
+
+
 def render_equirect_depth(rgba_layers: Array, tgt_pose: Array,
                           tgt_pos: Array, radii: Array) -> Array:
     """Depth-proxy ERP render (msi.py:384-405)."""

@@ -221,6 +221,45 @@ def _finish_prepared(rgbF: Array, alphaF: Array, h: int, pad: int,
     return {"prepared": prepared, "cap_top": cap_top, "cap_bot": cap_bot}
 
 
+def assemble_caps_blend_psv(msi_pred_hkwF: Array, fgF: Array, bgF: Array,
+                            num_planes: int, cap: int = None,
+                            cap_pad: int = 16,
+                            dtype=None) -> Dict[str, Array]:
+    """Pole-cap gather bands ONLY (blend_psv), for the blend-fused FTB
+    render path (pallas_render.render_mid_fused_blend) — the mid rows
+    blend inside the kernel, so only the two cap strips (~20% of rows)
+    are blended here. Band layouts identical to assemble_rgba_prepared's
+    cap_top/cap_bot.
+
+    msi_pred_hkwF: [H, K, W] flipped row-major net output;
+    fgF, bgF: [P, 3, H, W] flipped plane-major sweeps."""
+    from matryodshka_tpu.ops import pallas_render
+    p = num_planes
+    _, _, h, w = fgF.shape
+    cap = pallas_render.CAP_ROWS if cap is None else cap
+    bp = cap_pad
+    dtype = fgF.dtype if dtype is None else dtype
+    predF = jnp.transpose(msi_pred_hkwF, (1, 0, 2))       # [K, H, W]
+
+    def strip(lo, hi):
+        blw = ((predF[:p, lo:hi] + 1.0) / 2.0)[:, None]   # [P,1,rows,W]
+        alw = (predF[p:2 * p, lo:hi] + 1.0) / 2.0
+        rgb = (blw * fgF[:, :, lo:hi].astype(jnp.float32)
+               + (1.0 - blw) * bgF[:, :, lo:hi].astype(jnp.float32))
+        return jnp.concatenate([rgb, alw[:, None]],
+                               axis=1).astype(dtype)      # [P,4,rows,W]
+
+    top = strip(0, cap + bp)                              # rows [0, cap+bp)
+    bot = strip(h - cap - bp, h)                          # rows [h-cap-bp, h)
+
+    def band(rows):
+        return jnp.transpose(jnp.flip(rows, axis=3), (2, 3, 0, 1))
+
+    cap_top = band(jnp.concatenate([bot[:, :, cap:], top], axis=2))
+    cap_bot = band(jnp.concatenate([bot, top[:, :, :bp]], axis=2))
+    return {"cap_top": cap_top, "cap_bot": cap_bot}
+
+
 def assemble_hres_prepared(which_color_pred: str, u_blend: Array,
                            u_alphas: Array, fgF: Array, bgF: Array,
                            u_bg_rgb: Optional[Array], cap: int,
@@ -359,7 +398,8 @@ def fused_net_ops(model, params, cfg: MatryConfig, flipped: bool = True):
 def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
                        batch: Dict[str, Array], psv_depths: Array,
                        interpret: bool = False,
-                       fused_net=None) -> Optional[Dict[str, Array]]:
+                       fused_net=None,
+                       blend_fused=None) -> Optional[Dict[str, Array]]:
     """The zero-layout-tax inference hot path: sweep kernel emits the
     render-native flipped volumes, the assemble blends directly into the
     ladder kernel's layout. Returns dict(prepared [B,P,4,H+2p,W],
@@ -408,6 +448,26 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         net_input = jnp.stack([
             jnp.concatenate([_nl(fgF[i]), _nl(bgF[i])], axis=-1)
             for i in range(b)])              # tests only; DCE'd in prod
+
+        blend_fused = (pallas_render.DEFAULT_FTBB if blend_fused is None
+                       else blend_fused)
+        if (blend_fused and cfg.which_color_pred == "blend_psv"
+                and cfg.num_msi_planes == cfg.num_psv_planes
+                and pallas_render.blend_fused_supported(h, w)):
+            # blend-fused FTB path: only the pole-cap strips are
+            # assembled here; the mid rows blend inside the render
+            # kernel from fgP/bgP/msi_pred directly.
+            per = [assemble_caps_blend_psv(
+                msi_pred[i], fgF[i], bgF[i], cfg.num_msi_planes,
+                cap_pad=cap_pad, dtype=cfg.jnp_compute_dtype)
+                for i in range(b)]
+            out = {k2: jnp.stack([d[k2] for d in per])
+                   for k2 in ("cap_top", "cap_bot")}
+            out["fgP"] = fgP
+            out["bgP"] = bgP
+            out["msi_pred"] = msi_pred
+            out["net_input"] = net_input
+            return out
         per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
                                       fgF[i], bgF[i], cfg.num_msi_planes,
                                       cap_pad=cap_pad,
@@ -468,9 +528,15 @@ def render_equirect_view_from_prepared(outputs: Dict[str, Array],
                                        interpret: bool = False) -> Array:
     """Batched companion to infer_msi_prepared: [B,...] -> [B, H, W, 3].
     cap/chunk_rows override the defaults for high-res calls (larger
-    pole caps, row-chunked mid kernel)."""
+    pole caps, row-chunked mid kernel). Outputs carrying "fgP" (the
+    blend-fused path) route to render_equirect_view_fused_blend."""
     from matryodshka_tpu.geometry import render as render_geo
     from matryodshka_tpu.ops import pallas_render
+    if "fgP" in outputs:
+        return _render_fused_blend_batched(outputs, tgt_pose_rt, tgt_pos,
+                                           radii, height, cap,
+                                           depth=False,
+                                           interpret=interpret)
     b = outputs["prepared"].shape[0]
     w = outputs["prepared"].shape[-1]
     cap = pallas_render.CAP_ROWS if cap is None else cap
@@ -481,6 +547,25 @@ def render_equirect_view_from_prepared(outputs: Dict[str, Array],
             outputs["cap_bot"][i], tgt_pose_rt[i], tgt_pos[i], radii,
             height, cap, pallas_render.ROW_BLOCK, cap_pad,
             chunk_rows=chunk_rows, interpret=interpret)
+        for i in range(b)])
+
+
+def _render_fused_blend_batched(outputs, tgt_pose_rt, tgt_pos, radii,
+                                height, cap, depth, interpret):
+    from matryodshka_tpu.geometry import render as render_geo
+    from matryodshka_tpu.ops import pallas_render, pallas_sweep
+    b = outputs["fgP"].shape[0]
+    w = outputs["fgP"].shape[-1]
+    cap = pallas_render.CAP_ROWS if cap is None else cap
+    cap_pad = render_geo._cap_band_pad(height, w, cap)
+    return jnp.stack([
+        render_lib.render_equirect_view_fused_blend(
+            outputs["fgP"][i], outputs["bgP"][i],
+            outputs["msi_pred"][i], outputs["cap_top"][i],
+            outputs["cap_bot"][i], tgt_pose_rt[i], tgt_pos[i], radii,
+            height, cap, pallas_render.ROW_BLOCK, cap_pad,
+            vpad=pallas_sweep.NET_ROW_PAD, depth=depth,
+            interpret=interpret)
         for i in range(b)])
 
 
@@ -497,8 +582,15 @@ def render_equirect_depth_from_prepared(outputs: Dict[str, Array],
     over_composite_depth exactly (layer 0's value is 0 and its alpha is
     force-1 in both; projector.py:225-244) — so depth costs one cheap
     constant-rgb rewrite of the prepared stack instead of a full
-    gather reprojection.
+    gather reprojection. Blend-fused outputs ("fgP") use the FTB
+    kernel's depth mode (only the alpha prediction is read).
     """
+    if "fgP" in outputs:
+        return _render_fused_blend_batched(outputs, tgt_pose_rt, tgt_pos,
+                                           radii, height, cap,
+                                           depth=True,
+                                           interpret=interpret)
+
     def depthify_prepared(pr):                   # [P, 4, hpad, W]
         p = pr.shape[0]
         vals = (jnp.arange(p, dtype=jnp.float32) / p)[:, None, None, None]

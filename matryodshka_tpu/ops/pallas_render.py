@@ -590,6 +590,329 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
     jax.lax.fori_loop(0, planes, plane_body, jnp.int32(1))
 
 
+def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
+                        u_ref, v_ref, out_ref,
+                        fgb_ref, bgb_ref, blb_ref, alb_ref, bandf_ref,
+                        rolled_ref, cvs_ref, acc_ref, t_ref, sems, *,
+                        width: int, wb: int, cap: int, row_block: int,
+                        kh_max: int, kv_max: int, planes: int,
+                        eps: float, vpad: int, depth: bool = False):
+    """FTB ladder with the ASSEMBLE BLEND fused in (blend_psv scheme).
+
+    depth=True renders the depth proxy instead: rgb is the constant
+    p/planes per shell (msi.render_equirect_depth_from_prepared's
+    identity), only the alpha prediction is DMA'd, and the fg/bg
+    volumes are never touched.
+
+    Reads the sweep kernel's flipped plane-major volumes fgP/bgP
+    ([P, 3, H + 2*vpad, W], ANY) and the net prediction ([H, K, W] f32
+    row-major, ANY: blend channel p, alpha channel planes + p) and
+    blends rgb = w*fg + (1-w)*bg, a = (pa+1)/2 per plane band in VMEM —
+    the [P, 4, H+2*pad, W] `prepared` stack is never materialized in
+    HBM (it cost a 58 MB write + read per frame at 640x320x32, plus the
+    assemble pass that built it). Requires cap >= band_lead and
+    kv_max + 1 <= cap so every band stays inside [0, H) (the caller
+    asserts; production geometry satisfies both). Per-plane band DMAs
+    are double-buffered across the front-to-back plane walk; compute is
+    culled exactly like _render_kernel_ftb."""
+    blk = pl.program_id(0)
+    nt = width // wb if wb else 1
+    wbw = wb if wb else width
+    band_lead, band, _ = _band_geometry(cap, row_block, kv_max)
+
+    base_abs = cap + blk * row_block
+    g0u = base_abs - band_lead          # unpadded band start, >= 0
+    g0 = pl.multiple_of(g0u + vpad, 8)  # into the vpad-padded volumes
+
+    def start(pi, slot):
+        p = planes - 1 - pi
+        if not depth:
+            pltpu.make_async_copy(
+                fg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band), :],
+                fgb_ref.at[pl.ds(slot, 1)], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                bg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band), :],
+                bgb_ref.at[pl.ds(slot, 1)], sems.at[slot, 1]).start()
+            pltpu.make_async_copy(
+                pred_hbm.at[pl.ds(g0u, band), pl.ds(p, 1), :],
+                blb_ref.at[slot], sems.at[slot, 2]).start()
+        pltpu.make_async_copy(
+            pred_hbm.at[pl.ds(g0u, band), pl.ds(planes + p, 1), :],
+            alb_ref.at[slot], sems.at[slot, 3]).start()
+
+    def wait(slot):
+        # byte-count-matching self-descriptors (net-kernel wait pattern)
+        if not depth:
+            pltpu.make_async_copy(fgb_ref.at[pl.ds(slot, 1)],
+                                  fgb_ref.at[pl.ds(slot, 1)],
+                                  sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(bgb_ref.at[pl.ds(slot, 1)],
+                                  bgb_ref.at[pl.ds(slot, 1)],
+                                  sems.at[slot, 1]).wait()
+            pltpu.make_async_copy(blb_ref.at[slot], blb_ref.at[slot],
+                                  sems.at[slot, 2]).wait()
+        pltpu.make_async_copy(alb_ref.at[slot], alb_ref.at[slot],
+                              sems.at[slot, 3]).wait()
+
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, width), 1).astype(jnp.float32)
+    i_abs = (jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, width), 0).astype(jnp.float32)
+        + base_abs.astype(jnp.float32))
+
+    out_ref[:, :, :] = jnp.zeros((3, row_block, width), jnp.float32)
+    t_ref[:, :] = jnp.ones((row_block, width), jnp.float32)
+    start(0, 0)
+
+    def plane_body(pi, alive):
+        p = planes - 1 - pi
+        slot = jax.lax.rem(pi, 2)
+
+        @pl.when(pi + 1 < planes)
+        def _():
+            start(pi + 1, 1 - slot)
+        wait(slot)
+
+        @pl.when(alive > 0)
+        def _():
+            # fused assemble: blend the band in f32 (blend_psv math,
+            # msi.py:108-273 / assemble_rgba_prepared)
+            alw = (alb_ref[slot, :, 0, :] + 1.0) * 0.5
+            if depth:
+                val = p.astype(jnp.float32) / float(planes)
+                bandf_ref[0:3, :, :] = jnp.full(
+                    (3, band, width), 0.0, jnp.float32) + val
+            else:
+                blw = (blb_ref[slot, :, 0, :] + 1.0) * 0.5  # [band, W]
+                fg = fgb_ref[slot].astype(jnp.float32)
+                bg = bgb_ref[slot].astype(jnp.float32)
+                bandf_ref[0:3, :, :] = (blw[None] * fg
+                                        + (1.0 - blw[None]) * bg)
+            bandf_ref[3, :, :] = alw
+
+            u = u_ref[p, :, :]
+            v = v_ref[p, :, :]
+            x0f = jnp.floor(u)
+            fx = u - x0f
+            dk_raw = (width - 1.0) - x0f - j
+            dk = dk_raw - width * jnp.floor(
+                (dk_raw + width / 2.0) / width)
+            dk = jnp.clip(dk, -kh_max, kh_max)
+            y0f = jnp.floor(v)
+            fy = v - y0f
+            dy = jnp.clip(y0f - i_abs, -kv_max, kv_max)
+
+            bounds = [(_unpack2(kt_ref[p, blk, t]),
+                       _unpack2(mt_ref[p, blk, t])) for t in range(nt)]
+            talive = [jnp.max(t_ref[:, t * wbw:(t + 1) * wbw]) >= eps
+                      for t in range(nt)]
+            big = jnp.int32(1 << 14)
+            gklo = functools.reduce(jnp.minimum, [
+                jnp.where(talive[t], bounds[t][0][0], big)
+                for t in range(nt)])
+            gkhi = functools.reduce(jnp.maximum, [
+                jnp.where(talive[t], bounds[t][0][1], -big)
+                for t in range(nt)])
+            gmlo = functools.reduce(jnp.minimum, [
+                jnp.where(talive[t], bounds[t][1][0], big)
+                for t in range(nt)])
+            gmhi = functools.reduce(jnp.maximum, [
+                jnp.where(talive[t], bounds[t][1][1], -big)
+                for t in range(nt)])
+
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                def _(mi=mi, m=m):
+                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                         + fy * (dy == m - 1))
+
+            acc_ref[:, :, :] = jnp.zeros((4, row_block, width),
+                                         acc_ref.dtype)
+
+            def rungs(k):
+                kf = k.astype(jnp.float32)
+                for t in range(nt):
+                    (tklo, tkhi), (tmlo, tmhi) = bounds[t]
+
+                    @pl.when((k >= tklo - 1) & (k <= tkhi) & talive[t])
+                    def _(t=t, tmlo=tmlo, tmhi=tmhi):
+                        c0 = t * wbw
+                        ch = ((1.0 - fx[:, c0:c0 + wbw])
+                              * (dk[:, c0:c0 + wbw] == kf)
+                              + fx[:, c0:c0 + wbw]
+                              * (dk[:, c0:c0 + wbw] == kf + 1.0))
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            @pl.when((m >= tmlo) & (m <= tmhi + 1))
+                            def _(mi=mi, m=m, t=t, ch=ch):
+                                c0 = t * wbw
+                                coef = ch * cvs_ref[mi, :,
+                                                    c0:c0 + wbw]
+                                tap = rolled_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wbw]
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + (coef[None] * tap).astype(
+                                        acc_ref.dtype))
+
+            rolled_ref[:, :, :] = bandf_ref[:, :, :]
+
+            def k_up(i, _):
+                rungs(i)
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 width - 1, axis=2)
+                return 0
+
+            jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+
+            @pl.when(gklo - 1 < 0)
+            def _():
+                rolled_ref[:, :, :] = bandf_ref[:, :, :]
+
+            def k_down(i, _):
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 1, axis=2)
+                rungs(-1 - i)
+                return 0
+
+            jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
+
+            rgb_w = acc_ref[0:3, :, :].astype(jnp.float32)
+            a_w = acc_ref[3, :, :].astype(jnp.float32)
+            trans = t_ref[:, :]
+
+            @pl.when(p > 0)
+            def _():
+                out_ref[:, :, :] = (out_ref[:, :, :]
+                                    + rgb_w * (a_w * trans)[None])
+                t_ref[:, :] = trans * (1.0 - a_w)
+
+            @pl.when(p == 0)
+            def _():
+                out_ref[:, :, :] = out_ref[:, :, :] + rgb_w * trans[None]
+
+        return jnp.where(alive > 0,
+                         (jnp.max(t_ref[:, :]) >= eps).astype(jnp.int32),
+                         0)
+
+    jax.lax.fori_loop(0, planes, plane_body, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
+                                             "kv_max", "wb", "eps",
+                                             "vpad", "depth",
+                                             "interpret"))
+def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
+                            u: Array, v: Array, cap: int,
+                            row_block: int, kh_max: int, kv_max: int,
+                            wb: int = None, eps: float = 1e-6,
+                            vpad: int = 0, depth: bool = False,
+                            interpret: bool = False) -> Array:
+    """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
+    flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
+    flipped row-major net output (blend_psv layout: blend ch p, alpha
+    ch P+p); u, v: [P, Hm, W] f32. Returns [Hm, W, 3]."""
+    p = fgP.shape[0]
+    w = fgP.shape[3]
+    hm = u.shape[1]
+    h = hm + 2 * cap
+    band_lead, band, _ = _band_geometry(cap, row_block, kv_max)
+    assert cap >= band_lead and kv_max + 1 <= cap, (
+        "band would leave [0, H)", cap, band_lead, kv_max)
+    assert fgP.shape[2] == h + 2 * vpad, (fgP.shape, h, vpad)
+    mv = 2 * kv_max + 2
+    if wb is not None:
+        assert w % wb == 0 and wb % 128 == 0, (w, wb)
+    nblk = hm // row_block
+
+    klo, khi, mlo, mhi = _residual_tables(
+        u, v, cap, row_block, kh_max, kv_max, wb=wb)
+    kt, mt = _pack_tables(klo, khi, mlo, mhi)
+    if wb is None:
+        kt = kt[..., None]
+        mt = mt[..., None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((p, row_block, w), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, row_block, w), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, row_block, w), lambda i, *_: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, band, w), fgP.dtype),
+            pltpu.VMEM((2, 3, band, w), bgP.dtype),
+            pltpu.VMEM((2, band, 1, w), jnp.float32),
+            pltpu.VMEM((2, band, 1, w), jnp.float32),
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((mv, row_block, w), jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
+            pltpu.VMEM((row_block, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel_ftbb, width=w, wb=wb, cap=cap,
+                          row_block=row_block, kh_max=kh_max,
+                          kv_max=kv_max, planes=p, eps=eps, vpad=vpad,
+                          depth=depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(kt, mt, fgP, bgP, pred, u, v)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def blend_fused_supported(h: int, w: int, cap: int = CAP_ROWS,
+                          row_block: int = ROW_BLOCK) -> bool:
+    """Static predicate for the blend-fused FTB path: the shape must fit
+    the ladder AND every band must stay inside [0, H) (cap >= band_lead
+    and kv_max + 1 <= cap — true for the production geometry)."""
+    if not shape_supported(h, w, 4, cap, row_block, True):
+        return False
+    geom = prepared_geometry(h, w, cap, row_block)
+    band_lead, _, _ = _band_geometry(cap, row_block, geom["kv_max"])
+    return cap >= band_lead and geom["kv_max"] + 1 <= cap
+
+
+def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
+                           u: Array, v: Array, vpad: int,
+                           cap: int = CAP_ROWS,
+                           row_block: int = ROW_BLOCK,
+                           kh_max: int = None, kv_max: int = None,
+                           wb="auto", depth: bool = False,
+                           interpret: bool = False) -> Array:
+    """Blend-fused FTB mid render from the sweep kernel's planar
+    volumes + the net's flipped row-major prediction (blend_psv).
+    fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
+    u, v: [P, H, W] full height. Returns [H - 2*cap, W, 3]."""
+    h = u.shape[1]
+    w = fgP.shape[3]
+    geom = prepared_geometry(h, w, cap, row_block)
+    kh_max = geom["kh_max"] if kh_max is None else kh_max
+    kv_max = geom["kv_max"] if kv_max is None else kv_max
+    if wb == "auto":
+        wb = default_wb(w)
+    return _ladder_render_mid_ftbb(
+        fgP, bgP, pred,
+        u[:, cap:h - cap].astype(jnp.float32),
+        v[:, cap:h - cap].astype(jnp.float32),
+        cap, row_block, kh_max, kv_max, wb=wb, eps=FTB_EPS,
+        vpad=vpad, depth=depth, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "eps",
                                              "interpret"))
@@ -853,6 +1176,10 @@ def default_wb(w: int):
 # tests.
 DEFAULT_FTB = False
 FTB_EPS = 1e-6
+# Blend-fused FTB inference path (assemble folded into the render
+# kernel; msi.infer_msi_prepared(blend_fused=...)). Off until measured
+# faster on hardware.
+DEFAULT_FTBB = False
 
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,

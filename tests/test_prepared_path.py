@@ -192,3 +192,42 @@ def test_hres_fused_matches_scan():
         assert np.percentile(err, 99) < 3e-3, np.percentile(err, 99)
         assert (err > 1e-2).mean() < 0.005, (err > 1e-2).mean()
         assert err.mean() < 1e-3, err.mean()
+
+
+def test_blend_fused_pipeline_matches_prepared():
+    """Blend-fused FTB inference (assemble folded into the render
+    kernel) vs the prepared-stack pipeline: color, depth, and the
+    out-of-contract gather fallback."""
+    from matryodshka_tpu.training import state as state_lib
+
+    cfg = _cfg(ngf=8, height=96)
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(8)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    fused = msi_lib.fused_net_ops(model, state.params, cfg)
+    args = (lambda p, x: model.apply(p, x), state.params, cfg, batch,
+            depths)
+    o_ref = msi_lib.infer_msi_prepared(*args, interpret=True,
+                                       fused_net=fused,
+                                       blend_fused=False)
+    o_fb = msi_lib.infer_msi_prepared(*args, interpret=True,
+                                      fused_net=fused, blend_fused=True)
+    assert "fgP" in o_fb and "prepared" not in o_fb
+    eye = jnp.eye(4)[None]
+    for tgt in (jnp.asarray([[0.02, 0.01, -0.015]]),
+                jnp.asarray([[0.5, 0.5, 0.5]])):      # 2nd: fallback
+        a = msi_lib.render_equirect_view_from_prepared(
+            o_ref, eye, tgt, depths, cfg.height, interpret=True)
+        b = msi_lib.render_equirect_view_from_prepared(
+            o_fb, eye, tgt, depths, cfg.height, interpret=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=2e-5)
+    da = msi_lib.render_equirect_depth_from_prepared(
+        o_ref, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
+        cfg.height, interpret=True)
+    db = msi_lib.render_equirect_depth_from_prepared(
+        o_fb, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
+        cfg.height, interpret=True)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(da),
+                               rtol=0, atol=2e-5)

@@ -45,6 +45,7 @@ def main():
 
     phase("mosaic atan2/sqrt probe", mosaic_trig_probe)
     phase("ftb A/B", ftb_ab)
+    phase("blend-fused e2e A/B", ftbb_ab)
 
     if "--sweeps" in sys.argv:
         from tools import bench_net_stages
@@ -79,6 +80,71 @@ def mosaic_trig_probe():
     err = float(jnp.max(jnp.abs(out - want)))
     print(f"[probe] atan2/sqrt in-kernel: OK, max err {err:.2e}",
           flush=True)
+
+
+def ftbb_ab():
+    """Full inference e2e: prepared-stack pipeline vs the blend-fused
+    FTB pipeline (assemble inside the render kernel), production shape.
+    Includes exactness vs the gather path for both."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.training import state as state_lib
+
+    cfg = _flagship_cfg()
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    batch = _synthetic_batch(cfg)
+    psv = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    msid = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_msi_planes))
+    fused = msi_lib.fused_net_ops(model, state.params, cfg)
+    CHAIN = 20
+
+    def make(blend_fused):
+        @jax.jit
+        def e2e_chain(params, batch):
+            def body(_, ref):
+                b2 = dict(batch)
+                b2["ref_image"] = ref
+                outs = msi_lib.infer_msi_prepared(
+                    lambda p, x: model.apply(p, x), params, cfg, b2,
+                    psv, fused_net=fused, blend_fused=blend_fused)
+                b = outs["msi_pred"].shape[0]
+                eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+                img = msi_lib.render_equirect_view_from_prepared(
+                    outs, eye, b2["tgt_pose"], msid, cfg.height)
+                # real data dependency so the render isn't DCE'd
+                return jnp.clip(ref * 0.999
+                                + img.mean().astype(ref.dtype) * 1e-6,
+                                0.0, 1.0)
+            return jax.lax.fori_loop(0, CHAIN, body,
+                                     batch["ref_image"])
+        return e2e_chain
+
+    def timeit(fn, *args, iters=3, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
+
+    for bf in (False, True):
+        try:
+            ms = timeit(make(bf), state.params, batch)
+            print(f"[ftbb] blend_fused={bf}: e2e {ms:.2f} ms "
+                  f"({1000.0 / ms:.1f} fps)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[ftbb] blend_fused={bf}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 def ftb_ab():
