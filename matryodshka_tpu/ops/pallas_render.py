@@ -664,14 +664,22 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
     t_ref[:, :] = jnp.ones((row_block, width), jnp.float32)
     start(0, 0)
 
-    def plane_body(pi, alive):
+    def plane_body(pi, carry):
+        # carry: (alive, started) — started tracks whether THIS plane's
+        # band copy was issued (prefetch is gated on liveness, so dead
+        # blocks stop paying DMA for the remaining far shells; waits
+        # must mirror the gate exactly for semaphore hygiene).
+        alive, started = carry
         p = planes - 1 - pi
         slot = jax.lax.rem(pi, 2)
 
-        @pl.when(pi + 1 < planes)
+        @pl.when((alive > 0) & (pi + 1 < planes))
         def _():
             start(pi + 1, 1 - slot)
-        wait(slot)
+
+        @pl.when(started > 0)
+        def _():
+            wait(slot)
 
         @pl.when(alive > 0)
         def _():
@@ -793,11 +801,13 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
             def _():
                 out_ref[:, :, :] = out_ref[:, :, :] + rgb_w * trans[None]
 
-        return jnp.where(alive > 0,
-                         (jnp.max(t_ref[:, :]) >= eps).astype(jnp.int32),
-                         0)
+        newalive = jnp.where(
+            alive > 0,
+            (jnp.max(t_ref[:, :]) >= eps).astype(jnp.int32), 0)
+        return (newalive, alive)   # next plane's copy issued iff alive
 
-    jax.lax.fori_loop(0, planes, plane_body, jnp.int32(1))
+    jax.lax.fori_loop(0, planes, plane_body,
+                      (jnp.int32(1), jnp.int32(1)))
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
