@@ -59,7 +59,7 @@ def main():
                             cfg.width), cfg.jnp_compute_dtype)
             jax.block_until_ready(pallas_net.unet_forward(
                 (xp, xp), fused_net[0], fused_net[1], fused_net[2],
-                flipped=fused_net[3]))
+                flipped=fused_net[3], variant=fused_net[4]))
             print("[bench] fused net kernel: ok", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — any compile failure
             print(f"[bench] fused net kernel unavailable ({type(e).__name__}: "
@@ -67,29 +67,45 @@ def main():
                   file=sys.stderr)
             fused_net = None
 
-    def _e2e_prepared(params, batch):
-        outs = msi_lib.infer_msi_prepared(lambda p, x: model.apply(p, x),
-                                          params, cfg, batch, psv_depths,
-                                          fused_net=fused_net)
-        if outs is None:
-            return None
-        b = outs["prepared"].shape[0]
-        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-        return msi_lib.render_equirect_view_from_prepared(
-            outs, eye, batch["tgt_pose"], msi_depths, cfg.height)
+    from matryodshka_tpu.ops import pallas_render as _pr
 
+    def _make_e2e_prepared(blend_fused):
+        def _e2e_prepared(params, batch):
+            outs = msi_lib.infer_msi_prepared(
+                lambda p, x: model.apply(p, x), params, cfg, batch,
+                psv_depths, fused_net=fused_net,
+                blend_fused=blend_fused)
+            if outs is None:
+                return None
+            b = outs["msi_pred"].shape[0]
+            eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+            return msi_lib.render_equirect_view_from_prepared(
+                outs, eye, batch["tgt_pose"], msi_depths, cfg.height)
+        return _e2e_prepared
+
+    # probe cascade: blend-fused FTB (if enabled) -> prepared stack ->
+    # round-2 path; each level falls back if Mosaic rejects it
     use_prepared = (cfg.use_pallas and cfg.input_type == "ODS"
                     and jax.default_backend() == "tpu")
+    _e2e_prepared = None
     if use_prepared:
-        try:
-            jax.block_until_ready(
-                jax.jit(_e2e_prepared)(state.params, batch))
-            print("[bench] prepared pipeline: ok", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] prepared pipeline unavailable "
-                  f"({type(e).__name__}: {str(e)[:200]}) — falling back "
-                  f"to the round-2 path", file=sys.stderr)
-            use_prepared = False
+        candidates = ([True, False] if _pr.DEFAULT_FTBB else [False])
+        for bf in candidates:
+            fn = _make_e2e_prepared(bf)
+            try:
+                jax.block_until_ready(jax.jit(fn)(state.params, batch))
+                print(f"[bench] prepared pipeline (blend_fused={bf}): ok",
+                      file=sys.stderr)
+                _e2e_prepared = fn
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] prepared pipeline (blend_fused={bf}) "
+                      f"unavailable ({type(e).__name__}: "
+                      f"{str(e)[:200]})", file=sys.stderr)
+        use_prepared = _e2e_prepared is not None
+        if not use_prepared:
+            print("[bench] falling back to the round-2 path",
+                  file=sys.stderr)
 
     @jax.jit
     def e2e(params, batch):
@@ -170,13 +186,14 @@ def main():
 
             @jax.jit
             def net_fused(fgV, bgV):
-                net_ops, ngf, k, flipped = fused_net
+                net_ops, ngf, k, flipped, net_variant = fused_net
                 if planar:
                     p_, c_, hp_, w_ = fgV.shape[1:]
                     return pallas_net.unet_forward(
                         (fgV[0].reshape(p_ * c_, hp_, w_),
                          bgV[0].reshape(p_ * c_, hp_, w_)),
-                        net_ops, ngf, k, flipped=flipped)
+                        net_ops, ngf, k, flipped=flipped,
+                        variant=net_variant)
 
                 def _rm(v):
                     p_, c_, h_, w_ = v.shape
@@ -187,7 +204,7 @@ def main():
                                        axis=1)
                 return pallas_net.unet_forward(
                     x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
-                    flipped=flipped)
+                    flipped=flipped, variant=net_variant)
 
         @jax.jit
         def assemble_render(msi_pred, fgF, bgF, tgt_pose):

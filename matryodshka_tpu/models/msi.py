@@ -383,16 +383,20 @@ def fused_net_ops(model, params, cfg: MatryConfig, flipped: bool = True):
     (pallas_net.prepare_params docstring): the sweep kernel's natively
     W-flipped volumes feed the kernel with zero XLA flip passes and the
     prediction comes out pre-flipped for assemble_rgba_prepared
-    (pred_layout="hkwF"). Returns (ops, ngf, k, flipped)."""
+    (pred_layout="hkwF"). CoordNet configs (the released checkpoints'
+    variant) get the coord kernel: SAME zero padding + the |sin(lat)|
+    channel lowered to a per-row bias. Returns
+    (ops, ngf, k, flipped, variant)."""
     from matryodshka_tpu.ops import pallas_net
-    if cfg.coord_net or cfg.gcn:
+    if cfg.gcn:
         return None
+    variant = "coord" if cfg.coord_net else "wrap"
     k = cfg.num_net_outputs()
     cin0 = 2 * cfg.num_psv_planes * 3
     ops = pallas_net.prepare_params(params, cfg.ngf, cin0, k,
                                     dtype=cfg.jnp_compute_dtype,
-                                    flipped=flipped)
-    return (ops, cfg.ngf, k, flipped)
+                                    flipped=flipped, variant=variant)
+    return (ops, cfg.ngf, k, flipped, variant)
 
 
 def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
@@ -423,7 +427,7 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         # net kernel's planar x operands — ZERO XLA layout pass between
         # sweep and net (replaces the measured 0.75 ms rm-transpose).
         from matryodshka_tpu.ops import pallas_net
-        net_ops, ngf, k, flipped = fused_net
+        net_ops, ngf, k, flipped, net_variant = fused_net
         pad = pallas_sweep.NET_ROW_PAD
         assert pallas_net.X_ROW_PAD == pad
         fgP, bgP = pallas_sweep.ods_sweep_identity_planar(
@@ -437,7 +441,8 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
             preds.append(pallas_net.unet_forward(
                 (fgP[i].reshape(p_ * c_, h + 2 * pad, w),
                  bgP[i].reshape(p_ * c_, h + 2 * pad, w)),
-                net_ops, ngf, k, interpret=interpret, flipped=flipped))
+                net_ops, ngf, k, interpret=interpret, flipped=flipped,
+                variant=net_variant))
         msi_pred = jnp.stack(preds)          # [B, H, K, W]
         pred_layout = "hkwF"
 
@@ -488,7 +493,7 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         # sweep volumes in row-major [H, 2*P*3, W] (one flip+transpose
         # XLA pass), emits pred in [H, K, W].
         from matryodshka_tpu.ops import pallas_net
-        net_ops, ngf, k, flipped = fused_net
+        net_ops, ngf, k, flipped, net_variant = fused_net
 
         def _rm(v):
             p_, c_, h_, w_ = v.shape
@@ -501,7 +506,8 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
             x_rm = jnp.concatenate([_rm(fgF[i]), _rm(bgF[i])], axis=1)
             preds.append(pallas_net.unet_forward(
                 x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
-                interpret=interpret, flipped=flipped))
+                interpret=interpret, flipped=flipped,
+                variant=net_variant))
         msi_pred = jnp.stack(preds)          # [B, H, K, W]
         pred_layout = "hkwF" if flipped else "hkw"
     else:

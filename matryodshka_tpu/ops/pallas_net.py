@@ -149,6 +149,25 @@ def _interleave_expand(w_half: int, parity: int, dtype):
     return jnp.asarray(s, dtype=dtype)
 
 
+def _shift_zero(y, k: int, wlog: int, left: bool, slotw: int = None):
+    """Zero-fill shift by k within each slot's logical width — the
+    coord variant's SAME horizontal padding (nets.py coord_conv2d uses
+    plain zero-padded convs, no wrap). left=False: z[j] = y[j-k]
+    (lanes [0, k) zeroed); left=True: z[j] = y[j+k] (lanes
+    [wlog-k, wlog) zeroed). Pad lanes (>= wlog) come out zero."""
+    wp = y.shape[-1]
+    slotw = wp if slotw is None else slotw
+    t = (wlog - k) % wlog if left else k
+    z = _wrap_roll(y, t, wlog, slotw)
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    lane_in = lane % slotw if slotw != wp else lane
+    if left:
+        keep = lane_in < wlog - k
+    else:
+        keep = (lane_in >= k) & (lane_in < wlog)
+    return jnp.where(keep, z, 0.0)
+
+
 def _wrap_roll(y, amt: int, wlog: int, slotw: int = None):
     """Circular roll over the first `wlog` lanes of each `slotw`-lane
     slot (slotw defaults to the whole lane dim): within every slot,
@@ -173,7 +192,8 @@ def _wrap_roll(y, amt: int, wlog: int, slotw: int = None):
 
 def prepare_params(flax_params: Dict, ngf: int, cin0: int,
                    num_outputs: int, dtype=jnp.bfloat16,
-                   flipped: bool = False) -> List[Array]:
+                   flipped: bool = False,
+                   variant: str = "wrap") -> List[Array]:
     """Flax MSIUNet (variant='wrap') param tree -> flat kernel operands.
 
     Per layer: conv/down -> [L ([3*cout, 3cin]: the dx-grouped lhs
@@ -201,6 +221,7 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
               sh = db+kb-1 rolls and the e0/e1 expanders unchanged.
       head:   1x1, unaffected.
     """
+    coord = variant == "coord"
     p = flax_params["params"] if "params" in flax_params else flax_params
     ops: List[Array] = []
     for (name, kind, srcs, cins, cout, ind, outd, rate) in unet_plan(
@@ -208,6 +229,33 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
         lp = p[name]
         k = jnp.asarray(lp["kernel"])
         if kind in ("conv", "down"):
+            if coord:
+                # the |sin(lat)| channel is appended LAST
+                # (unet.py:253-257); it is constant along W, so it
+                # factors out of the GEMM into a per-row bias: kc
+                # [cout, 3(dy), 3(dx)] are its 3x3 weights.
+                cin = cins[0]
+                kc = jnp.transpose(k[:, :, cin, :], (2, 0, 1))
+                if flipped:
+                    kc = kc[:, :, ::-1]
+                k = k[:, :, :cin]
+                lhs = _conv_lhs(k, dtype)
+                if flipped:
+                    lhs = lhs[::-1]
+                ops.append(jnp.concatenate(lhs, axis=0))
+                # [cout, 9] = [row-sum | left-edge col | right-edge col]
+                # per dy — everything the per-row bias math needs
+                kcx = jnp.concatenate(
+                    [kc.sum(axis=2), kc[:, :, 0], kc[:, :, 2]], axis=1)
+                ops.append(kcx.astype(jnp.float32))
+                ops.append(jnp.asarray(lp["bias"],
+                                       jnp.float32).reshape(cout, 1))
+                ln = p[name + "_ln"]
+                ops.append(jnp.asarray(ln["gamma"], jnp.float32)
+                           .reshape(cout, 1))
+                ops.append(jnp.asarray(ln["beta"], jnp.float32)
+                           .reshape(cout, 1))
+                continue
             lhs = _conv_lhs(k, dtype)
             if flipped:
                 lhs = lhs[::-1]
@@ -244,12 +292,17 @@ def prepare_params(flax_params: Dict, ngf: int, cin0: int,
 
 
 def static_operands(w: int, dtype=jnp.bfloat16,
-                    flipped: bool = False) -> List[Array]:
+                    flipped: bool = False,
+                    variant: str = "wrap") -> List[Array]:
     """One-hot stride-select / interleave-expand constants (appended
     after the params in the operand list). flipped selects the odd
     stride-2 phase (see prepare_params); the expanders are unchanged
-    under flip."""
+    under flip. The coord variant's SAME stride-2 convs center at ODD
+    columns (XLA SAME puts the extra pad at the END: pad_lo=0), so its
+    parity is the opposite of wrap's."""
     par = 1 if flipped else 0
+    if variant == "coord":
+        par = 1 - par
     out = [_even_select(ww, dtype, par) for ww in (w, w // 2, w // 4)]
     for wh in (w // 8, w // 4, w // 2):
         out.append(_interleave_expand(wh, 0, dtype))
@@ -283,8 +336,15 @@ X_ROW_PAD = 8
 
 
 def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
-                  dtype, planar_x: bool = False):
+                  dtype, planar_x: bool = False, variant: str = "wrap"):
     """Returns (kernel_fn, scratch_shapes, total_ops, vmem_bytes).
+
+    variant="coord" builds the CoordNet CNN (the released checkpoints'
+    variant, nets.py:471-534): SAME zero padding horizontally (the
+    wrap rolls become zero-fill shifts) and an |sin(latitude)|
+    coordinate channel prepended to every conv — constant along W, so
+    it lowers to a per-row bias (kcx operand + per-stage coord vectors
+    in SMEM) instead of a GEMM column.
 
     planar_x: the network input arrives as TWO plane-major operands
     [cin0/2, H + 2*X_ROW_PAD, W] (the sweep kernel's padded planar
@@ -293,9 +353,18 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     plain strided rectangles and the GEMM rhs is packed with STATIC
     sublane reads (python-unrolled row groups) — zero XLA layout pass
     between sweep and net."""
+    coord = variant == "coord"
     plan = unet_plan(ngf, cin0, num_outputs)
     by_name = {e[0]: e for e in plan}
     layer_idx = {e[0]: i for i, e in enumerate(plan)}
+
+    if coord:
+        def hshift(y, k, wlog, left, slotw=None):
+            return _shift_zero(y, k, wlog, left, slotw)
+    else:
+        def hshift(y, k, wlog, left, slotw=None):
+            return _wrap_roll(y, (wlog - k) % wlog if left else k,
+                              wlog, slotw)
 
     def wpad(ww):
         """DMA lane dims must be 128-aligned (hard Mosaic rule observed
@@ -456,14 +525,27 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
     # operand layout
     def n_ops(kind, nsrc):
-        return {"head": 2, "deconv": nsrc * 2 + 3}.get(kind, 4)
+        if kind == "head":
+            return 2
+        if kind == "deconv":
+            return nsrc * 2 + 3
+        return 5 if coord else 4        # coord adds the kcx operand
 
     n_x_ops = 2 if planar_x else 1
     total_params = n_x_ops + sum(n_ops(k, len(s))
                                  for (_, k, s, *_r) in plan)
     sel_widths = [w, w // 2, w // 4]
     exp_widths = [w // 8, w // 4, w // 2]
-    total_ops = total_params + len(sel_widths) + 2 * len(exp_widths)
+    n_static = len(sel_widths) + 2 * len(exp_widths)
+    # coord: one padded |sin(lat)| vector per conv/down stage (SMEM)
+    conv_vec_idx = {}
+    if coord:
+        ci = 0
+        for si, e in enumerate(plan):
+            if e[1] in ("conv", "down"):
+                conv_vec_idx[si] = total_params + n_static + ci
+                ci += 1
+    total_ops = total_params + n_static + len(conv_vec_idx)
 
     vmem_bytes = sum(int(np.prod(sp.shape))
                      * np.dtype(sp.dtype).itemsize
@@ -530,6 +612,27 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             a_vec = gamma[:, :] * inv
             b_vec = beta[:, :] - mean * a_vec
             return a_vec, b_vec
+
+        def coord_bias(kcx, cvec_ref, ro, stride, rate, sw, swp,
+                       voff=0):
+            """[cout, swp] bias of the |sin(lat)| coord channel for
+            output row `ro` (traced): full-row term minus the edge
+            columns' missing-tap corrections (SAME zero pad). kcx:
+            [cout, 9] = [dy-sums | left col | right col]; cvec_ref:
+            SMEM [his + 4, 1], 2 zero pad rows each side."""
+            terms = [None, None, None]
+            for dy in range(3):
+                ri = stride * ro + (dy - 1) * rate + voff
+                cv = cvec_ref[ri + 2, 0]
+                for ti in range(3):
+                    t = kcx[:, 3 * ti + dy:3 * ti + dy + 1] * cv
+                    terms[ti] = t if terms[ti] is None else terms[ti] + t
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, swp), 1)
+            mask_l = lane < rate
+            mask_r = (lane >= sw - rate) & (lane < sw)
+            return jnp.where(mask_l, terms[0] - terms[1],
+                             jnp.where(mask_r, terms[0] - terms[2],
+                                       terms[0]))
 
         def norm_row(row, av, pad_row):
             """Fused LN+relu of one window row [C, W] applied DURING the
@@ -721,9 +824,17 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             stats[si, 1] = 0.0
 
             if kind in ("conv", "down"):
-                Lst, bias, gamma, beta = take(4)
+                if coord:
+                    Lst, kcx_op, bias, gamma, beta = take(5)
+                    cvec_ref = ops[conv_vec_idx[si]]
+                else:
+                    Lst, bias, gamma, beta = take(4)
+                    kcx_op = cvec_ref = None
                 ln_params[si] = (gamma, beta)
                 stride = 2 if kind == "down" else 1
+                # coord SAME stride-2 centers at row 2r+1 (pad_lo=0
+                # vertically too): shift the window taps down one row
+                voff = rate if (coord and kind == "down") else 0
                 sc = cins[0]
                 sw = bufs_meta[srcs[0]][3]
                 sel = selector(sw) if kind == "down" else None
@@ -739,11 +850,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
                                bias=bias, sc=sc, sw=sw, cout=cout,
                                si=si, rb=rb, r_pack=r_pack,
+                               kcx_op=kcx_op, cvec_ref=cvec_ref,
                                ob_i=scr["oband"],
                                pack_i=scr.get("pack_rhs")):
                         win = vrefs[vref_i]
                         ob = vrefs[ob_i]
                         swp = win.shape[-1]
+                        kcx = kcx_op[:, :] if coord else None
                         for rp in range(rb // r_pack):
                             base = rp * r_pack
                             if r_pack > 1:
@@ -767,11 +880,18 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                         rr,
                                         preferred_element_type=jnp.float32)
                                     y = t if y is None else y + t
-                            dense = (_wrap_roll(y[0:cout], 1, sw, swp)
+                            dense = (hshift(y[0:cout], 1, sw, False,
+                                            swp)
                                      + y[cout:2 * cout]
-                                     + _wrap_roll(y[2 * cout:3 * cout],
-                                                  sw - 1, sw, swp)
+                                     + hshift(y[2 * cout:3 * cout], 1,
+                                              sw, True, swp)
                                      + bias[:, :])
+                            if coord:
+                                dense = dense + jnp.concatenate(
+                                    [coord_bias(kcx, cvec_ref,
+                                                b * rb + base + kk,
+                                                1, 1, sw, swp)
+                                     for kk in range(r_pack)], axis=1)
                             rowq = dense.astype(dtype)
                             for k in range(r_pack):
                                 ob[oslot, base + k, :, :] = \
@@ -793,6 +913,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                stride=stride, sel=sel, cout=cout,
                                sc=sc, sw=sw, si=si, rb=rb,
                                r_pack=r_pack, srows=srows0,
+                               kcx_op=kcx_op, cvec_ref=cvec_ref,
+                               voff=voff,
                                ob_i=scr["oband"],
                                pack_i=scr["pack_rhs"]):
                         win = vrefs[vref_i]
@@ -800,6 +922,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                         rhsb = vrefs[pack_i]
                         swp = win.shape[-1]
                         av = norms[0]
+                        kcx = kcx_op[:, :] if coord else None
 
                         def one(rp, _):
                             base = rp * r_pack
@@ -808,24 +931,33 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                     # real source row of this slot:
                                     # pad rows take the identity affine
                                     sr = (stride * (b * rb + base + k)
-                                          + (dy - 1) * rate)
+                                          + (dy - 1) * rate + voff)
                                     pad_row = (sr < 0) | (sr >= srows)
                                     rhsb[dy * sc:(dy + 1) * sc,
                                          k * swp:(k + 1) * swp] = \
                                         norm_row(
                                             win[slot,
                                                 stride * (base + k)
-                                                + dy * rate, :, :],
+                                                + dy * rate + voff,
+                                                :, :],
                                             av, pad_row)
                             rhs = rhsb[0:3 * sc, 0:r_pack * swp]
                             y = jnp.dot(
                                 Lst[:, :], rhs,
                                 preferred_element_type=jnp.float32)
-                            dense = (_wrap_roll(y[0:cout], rate, sw, swp)
+                            dense = (hshift(y[0:cout], rate, sw, False,
+                                            swp)
                                      + y[cout:2 * cout]
-                                     + _wrap_roll(y[2 * cout:3 * cout],
-                                                  sw - rate, sw, swp)
+                                     + hshift(y[2 * cout:3 * cout],
+                                              rate, sw, True, swp)
                                      + bias[:, :])
+                            if coord:
+                                dense = dense + jnp.concatenate(
+                                    [coord_bias(kcx, cvec_ref,
+                                                b * rb + base + kk,
+                                                stride, rate, sw, swp,
+                                                voff)
+                                     for kk in range(r_pack)], axis=1)
                             if sel is not None:
                                 # per-slot one-hot downsample (zero pad
                                 # rows/cols => output pad lanes exact 0)
@@ -866,14 +998,16 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 def row_fn(b, slot, oslot, vref_i=vref_i, Lst=Lst,
                            bias=bias, stride=stride, rate=rate,
                            sel=sel, sc=sc, sw=sw, si=si, cout=cout,
-                           rb=rb, ob_i=scr["oband"]):
+                           rb=rb, kcx_op=kcx_op, cvec_ref=cvec_ref,
+                           voff=voff, ob_i=scr["oband"]):
                     win = vrefs[vref_i]
                     ob = vrefs[ob_i]
 
                     swp = win.shape[-1]
+                    kcx = kcx_op[:, :] if coord else None
 
                     def one(rl, _):
-                        base = stride * rl
+                        base = stride * rl + voff
                         if rate == 1:
                             rhs = win[slot, pl.ds(base, 3),
                                       :, :].reshape(3 * sc, swp)
@@ -886,11 +1020,15 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                 y += jnp.dot(
                                     Lst[:, dy * sc:(dy + 1) * sc], rr,
                                     preferred_element_type=jnp.float32)
-                        dense = (_wrap_roll(y[0:cout], rate, sw)
+                        dense = (hshift(y[0:cout], rate, sw, False)
                                  + y[cout:2 * cout]
-                                 + _wrap_roll(y[2 * cout:3 * cout],
-                                              sw - rate, sw)
+                                 + hshift(y[2 * cout:3 * cout], rate,
+                                          sw, True)
                                  + bias[:, :])
+                        if coord:
+                            dense = dense + coord_bias(
+                                kcx, cvec_ref, b * rb + rl, stride,
+                                rate, sw, swp, voff)
                         if sel is not None:
                             # one-hot has zero pad rows/cols: output
                             # pad lanes come out exactly 0
@@ -974,12 +1112,11 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                             yk = y[co:co + cout]
                                             sh = db + kb - 1
                                             if sh == 1:
-                                                yk = _wrap_roll(
-                                                    yk, sws - 1, sws,
-                                                    swp)
+                                                yk = hshift(yk, 1, sws,
+                                                            True, swp)
                                             elif sh == -1:
-                                                yk = _wrap_roll(
-                                                    yk, 1, sws, swp)
+                                                yk = hshift(yk, 1, sws,
+                                                            False, swp)
                                             acc[db] = (
                                                 yk if acc[db] is None
                                                 else acc[db] + yk)
@@ -1032,10 +1169,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                         yk = y[co:co + cout]
                                         sh = db + kb - 1
                                         if sh == 1:
-                                            yk = _wrap_roll(yk, sws - 1,
-                                                            sws)
+                                            yk = hshift(yk, 1, sws, True)
                                         elif sh == -1:
-                                            yk = _wrap_roll(yk, 1, sws)
+                                            yk = hshift(yk, 1, sws,
+                                                        False)
                                         parts[db] = (
                                             yk if parts[db] is None
                                             else parts[db] + yk)
@@ -1120,18 +1257,42 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
     return kernel, scratch, total_ops, hbm_out_shapes, vmem_bytes
 
 
+def coord_operands(h: int, ngf: int, cin0: int,
+                   num_outputs: int) -> List[Array]:
+    """Per-conv-stage |sin(lat)| column vectors (padded 2 rows each
+    side with zeros — SAME vertical padding of the coord channel), in
+    plan order, at each stage's INPUT resolution."""
+    out = []
+    for (name, kind, srcs, cins, cout, ind, outd, rate) in unet_plan(
+            ngf, cin0, num_outputs):
+        if kind not in ("conv", "down"):
+            continue
+        his = h // ind
+        lat = np.linspace(-np.pi / 2, np.pi / 2, his)
+        vec = np.zeros((his + 4, 1), np.float32)
+        vec[2:2 + his, 0] = np.abs(np.sin(lat)).astype(np.float32)
+        out.append(jnp.asarray(vec))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "ngf", "cin0", "num_outputs", "interpret", "planar_x"))
+    "h", "w", "ngf", "cin0", "num_outputs", "interpret", "planar_x",
+    "variant"))
 def _forward(operands, h: int, w: int, ngf: int, cin0: int,
              num_outputs: int, interpret: bool = False,
-             planar_x: bool = False) -> Array:
+             planar_x: bool = False, variant: str = "wrap") -> Array:
     dtype = operands[0].dtype
     kernel, scratch, total_ops, hbm_out_shapes, _ = _build_kernel(
-        h, w, ngf, cin0, num_outputs, dtype, planar_x=planar_x)
+        h, w, ngf, cin0, num_outputs, dtype, planar_x=planar_x,
+        variant=variant)
     n_x = 2 if planar_x else 1
+    n_cvecs = (sum(1 for e in unet_plan(ngf, cin0, num_outputs)
+                   if e[1] in ("conv", "down"))
+               if variant == "coord" else 0)
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * n_x
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                * (total_ops - n_x))
+                * (total_ops - n_x - n_cvecs)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_cvecs)
     out_shape = ([jax.ShapeDtypeStruct((h, num_outputs, w), jnp.float32)]
                  + [jax.ShapeDtypeStruct(shp, dt)
                     for shp, dt in hbm_out_shapes])
@@ -1150,7 +1311,7 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
 
 def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
                  num_outputs: int, interpret: bool = False,
-                 flipped: bool = False) -> Array:
+                 flipped: bool = False, variant: str = "wrap") -> Array:
     """x_row_major: [H, C0, W] (bf16 recommended). Returns the tanh'd
     prediction in ROW-MAJOR [H, num_outputs, W] float32 (the transposed
     layout the prepared-assemble path wants).
@@ -1170,12 +1331,18 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
         assert x1.shape == x0.shape, (x0.shape, x1.shape)
         h = hp - 2 * X_ROW_PAD
         ops = ([x0, x1] + list(params_ops)
-               + static_operands(w, x0.dtype, flipped))
+               + static_operands(w, x0.dtype, flipped, variant))
+        if variant == "coord":
+            ops += coord_operands(h, ngf, 2 * pc, num_outputs)
         return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=2 * pc,
                         num_outputs=num_outputs, interpret=interpret,
-                        planar_x=True)
+                        planar_x=True, variant=variant)
     h, c0, w = x_row_major.shape
     ops = ([x_row_major] + list(params_ops)
-           + static_operands(w, x_row_major.dtype, flipped))
+           + static_operands(w, x_row_major.dtype, flipped,
+                              variant))
+    if variant == "coord":
+        ops += coord_operands(h, ngf, c0, num_outputs)
     return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=c0,
-                    num_outputs=num_outputs, interpret=interpret)
+                    num_outputs=num_outputs, interpret=interpret,
+                    variant=variant)

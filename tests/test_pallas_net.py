@@ -116,3 +116,26 @@ def test_planar_sweep_pad_matches_prepared():
             np.asarray(padded[:, :, :, pad:pad + h]), np.asarray(full))
         assert float(jnp.abs(padded[:, :, :, :pad]).max()) == 0.0
         assert float(jnp.abs(padded[:, :, :, pad + h:]).max()) == 0.0
+
+
+@pytest.mark.parametrize("flipped", [False, True])
+def test_coord_variant_matches_flax(flipped):
+    """CoordNet kernel (SAME zero padding; |sin(lat)| channel lowered
+    to a per-row bias) vs the flax coord net, both orientations."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, H, W, CIN0).astype(np.float32) * 0.3)
+    net = MSIUNet(num_outputs=NOUT, ngf=NGF, variant="coord",
+                  dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(net.apply(params, x))[0]
+    ops = pallas_net.prepare_params(params, NGF, CIN0, NOUT,
+                                    dtype=jnp.float32, flipped=flipped,
+                                    variant="coord")
+    xin = jnp.flip(x[0], axis=1) if flipped else x[0]
+    xr = jnp.transpose(xin, (2, 0, 1)).transpose(1, 0, 2)
+    got = pallas_net.unet_forward(xr, ops, NGF, NOUT, interpret=True,
+                                  flipped=flipped, variant="coord")
+    got = np.asarray(jnp.transpose(got, (0, 2, 1)))
+    if flipped:
+        got = got[:, ::-1]
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)

@@ -231,3 +231,32 @@ def test_blend_fused_pipeline_matches_prepared():
         cfg.height, interpret=True)
     np.testing.assert_allclose(np.asarray(db), np.asarray(da),
                                rtol=0, atol=2e-5)
+
+
+def test_coord_fused_pipeline_matches_flax():
+    """CoordNet config rides the fused planar pipeline (sweep kernel ->
+    coord net kernel -> prepared assemble -> ladder render) and matches
+    the flax coord net + standard assemble + gather render."""
+    from matryodshka_tpu.training import state as state_lib
+
+    cfg = _cfg(ngf=8, coord_net=True)
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(9)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    fused = msi_lib.fused_net_ops(model, state.params, cfg)
+    assert fused is not None and fused[4] == "coord"
+    outs = msi_lib.infer_msi_prepared(
+        lambda p, x: model.apply(p, x), state.params, cfg, batch,
+        depths, interpret=True, fused_net=fused)
+    eye = jnp.eye(4)[None]
+    tgt = jnp.asarray([[0.02, -0.01, 0.015]])
+    img = msi_lib.render_equirect_view_from_prepared(
+        outs, eye, tgt, depths, cfg.height, interpret=True)
+    pred_ref = model.apply(state.params, outs["net_input"])
+    std = msi_lib.assemble_rgba(cfg.which_color_pred, pred_ref,
+                                outs["net_input"], P)
+    ref = msi_lib.render_equirect_view(std["rgba_layers"], eye, tgt,
+                                       depths)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=0, atol=2e-4)

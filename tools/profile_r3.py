@@ -49,7 +49,7 @@ def main():
     cap_pad = render_geo._cap_band_pad(h, w, cap)
 
     fused = msi_lib.fused_net_ops(model, state.params, cfg)
-    net_ops, ngf, k, net_flipped = fused
+    net_ops, ngf, k, net_flipped = fused[:4]
     net_ops = [jnp.asarray(o) for o in net_ops]
 
     CHAIN = 20
