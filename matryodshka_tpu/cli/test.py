@@ -28,8 +28,9 @@ from matryodshka_tpu.training.checkpoint import CheckpointManager
 
 def fused_net_available(cfg: MatryConfig, model, params) -> bool:
     """Probe-compile the whole-net Pallas kernel (TPU only); callers
-    keep the XLA net when Mosaic rejects anything."""
-    if cfg.gcn or cfg.coord_net or jax.default_backend() != "tpu":
+    keep the XLA net when Mosaic rejects anything. Coord configs (the
+    released checkpoints) probe the coord kernel variant."""
+    if cfg.gcn or jax.default_backend() != "tpu":
         return False
     try:
         from matryodshka_tpu.ops import pallas_net
@@ -39,7 +40,8 @@ def fused_net_available(cfg: MatryConfig, model, params) -> bool:
         xp = jnp.zeros((cfg.height, 2 * cfg.num_psv_planes * 3,
                         cfg.width), cfg.jnp_compute_dtype)
         jax.block_until_ready(pallas_net.unet_forward(
-            xp, fused[0], fused[1], fused[2], flipped=fused[3]))
+            xp, fused[0], fused[1], fused[2], flipped=fused[3],
+            variant=fused[4]))
         return True
     except Exception:  # noqa: BLE001
         return False
