@@ -44,7 +44,9 @@ def main():
     names = [e[0] for e in full_plan]
 
     def n_ops(kind, nsrc):
-        return {"head": 2, "deconv": nsrc * 8 + 3}.get(kind, 6)
+        # must mirror pallas_net._build_kernel's wrap-variant op counts
+        # (stacked lhs: one op per conv, nsrc*2 per deconv)
+        return {"head": 2, "deconv": nsrc * 2 + 3}.get(kind, 4)
 
     CUTS = ["conv2_2", "conv3_3", "conv4_3", "conv6_3", "conv7_2",
             "color_pred"]
