@@ -37,15 +37,18 @@ def main():
     import jax
     print("devices:", jax.devices(), flush=True)
 
-    from tools import profile_r3
-    phase("profile_r3", profile_r3.main)
-
+    # decision-critical numbers first, in case the tunnel flaps:
+    # 1. the headline e2e (production path), 2. the flag-flip A/Bs,
+    # 3. the fine-grained stage budget, 4. tuning sweeps.
     import bench
     phase("bench", bench.main)
 
-    phase("mosaic atan2/sqrt probe", mosaic_trig_probe)
-    phase("ftb A/B", ftb_ab)
     phase("blend-fused e2e A/B", ftbb_ab)
+    phase("ftb A/B", ftb_ab)
+    phase("mosaic atan2/sqrt probe", mosaic_trig_probe)
+
+    from tools import profile_r3
+    phase("profile_r3", profile_r3.main)
 
     if "--sweeps" in sys.argv:
         from tools import bench_net_stages
