@@ -376,7 +376,7 @@ def infer_msi(apply_fn, params, cfg: MatryConfig, batch: Dict[str, Array],
 
 def fused_net_ops(model, params, cfg: MatryConfig, flipped: bool = True):
     """Kernel operands for the whole-net Pallas kernel, or None when
-    the fused net doesn't apply (CoordNet/GCN variants keep the XLA
+    the fused net does not apply (GCN keeps the XLA
     net). Cache the result — it's pure weight repacking.
 
     flipped=True (default) prepares the HORIZONTALLY-FLIPPED net
