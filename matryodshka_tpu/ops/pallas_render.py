@@ -1180,16 +1180,34 @@ def default_wb(w: int):
 
 
 # Front-to-back block-major kernel with early ray termination
-# (_ladder_render_mid_ftb). Off until measured faster on hardware;
-# the TPU session A/Bs it. FTB_EPS bounds the truncation error of
-# culled (fully saturated) rays — keep well under the 1e-5 exactness
-# tests.
-DEFAULT_FTB = False
+# (_ladder_render_mid_ftb) and the blend-fused inference path
+# (_render_kernel_ftbb; msi.infer_msi_prepared(blend_fused=...)).
+# Both default OFF; the TPU measurement session
+# (tools/r3_hw_session.py) A/Bs them against the plane-major prepared
+# pipeline and, when a variant wins AND matches it numerically, arms
+# it by writing perf_flags.json at the repo root — read here at
+# import so later processes (the driver's bench included) pick the
+# winners up. FTB_EPS bounds the truncation error of culled (fully
+# saturated) rays — well under the 1e-5 exactness tests.
 FTB_EPS = 1e-6
-# Blend-fused FTB inference path (assemble folded into the render
-# kernel; msi.infer_msi_prepared(blend_fused=...)). Off until measured
-# faster on hardware.
-DEFAULT_FTBB = False
+
+
+def _read_perf_flags():
+    import json
+    import os
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "perf_flags.json")
+    try:
+        with open(path) as f:
+            return json.load(f), path
+    except Exception:  # noqa: BLE001 — absent/corrupt file = defaults
+        return {}, path
+
+
+_PERF_FLAGS, PERF_FLAGS_PATH = _read_perf_flags()
+DEFAULT_FTB = bool(_PERF_FLAGS.get("ftb", False))
+DEFAULT_FTBB = bool(_PERF_FLAGS.get("ftbb", False))
 
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,

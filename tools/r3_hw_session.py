@@ -85,10 +85,26 @@ def mosaic_trig_probe():
           flush=True)
 
 
+def _arm_flag(name, on):
+    """Persist a winning kernel flag to perf_flags.json (read by
+    pallas_render at import, so the driver's bench picks it up)."""
+    import json
+
+    from matryodshka_tpu.ops import pallas_render as pr
+    flags, path = pr._read_perf_flags()
+    if flags.get(name) == on:
+        return
+    flags[name] = on
+    with open(path, "w") as f:
+        json.dump(flags, f, indent=1)
+    print(f"[flags] {name} = {on} -> {path}", flush=True)
+
+
 def ftbb_ab():
     """Full inference e2e: prepared-stack pipeline vs the blend-fused
     FTB pipeline (assemble inside the render kernel), production shape.
-    Includes exactness vs the gather path for both."""
+    Arms the ftbb flag when it wins by >3% and matches the prepared
+    pipeline numerically."""
     import time
 
     import jax
@@ -140,14 +156,38 @@ def ftbb_ab():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
 
+    def one_frame(params, batch, bf):
+        # bf is baked statically by the caller's jit wrapper
+        outs = msi_lib.infer_msi_prepared(
+            lambda p, x: model.apply(p, x), params, cfg, batch, psv,
+            fused_net=fused, blend_fused=bf)
+        b = outs["msi_pred"].shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        return msi_lib.render_equirect_view_from_prepared(
+            outs, eye, batch["tgt_pose"], msid, cfg.height)
+
+    results = {}
     for bf in (False, True):
         try:
             ms = timeit(make(bf), state.params, batch)
+            results[bf] = ms
             print(f"[ftbb] blend_fused={bf}: e2e {ms:.2f} ms "
                   f"({1000.0 / ms:.1f} fps)", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"[ftbb] blend_fused={bf}: FAIL {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
+
+    if False in results and True in results:
+        img_a = jax.jit(lambda p, b: one_frame(p, b, False))(
+            state.params, batch)
+        img_b = jax.jit(lambda p, b: one_frame(p, b, True))(
+            state.params, batch)
+        err = float(jnp.max(jnp.abs(img_a - img_b)))
+        win = results[True] < 0.97 * results[False]
+        exact = err < (0.02 if cfg.compute_dtype == "bfloat16" else 1e-4)
+        print(f"[ftbb] exactness {err:.2e}; win={win} exact={exact}",
+              flush=True)
+        _arm_flag("ftbb", bool(win and exact))
 
 
 def ftb_ab():
@@ -203,6 +243,7 @@ def ftb_ab():
                               sparse[..., 3] * 0.9 + 0.1, 0.015)
     contents["sparse"] = sparse
 
+    wins = []
     for tname, tgt in (("bench", jnp.asarray([0.05, 0.0, 0.0])),
                        ("diag", jnp.asarray([0.05, 0.05, 0.05]))):
         u, v = intersect.intersect_sphere_uv(pose, tgt, radii, W, H)
@@ -220,9 +261,14 @@ def ftb_ab():
             except Exception as e:  # noqa: BLE001
                 print(f"[ftb] {tname}/{cname}: FTB FAIL "
                       f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+                wins.append(False)
                 continue
             print(f"[ftb] {tname}/{cname}: plane-major {pm:.2f} ms, "
                   f"ftb {ftb:.2f} ms", flush=True)
+            if cname == "uniform":          # the bench distribution
+                wins.append(ftb < 0.97 * pm)
+    if wins:
+        _arm_flag("ftb", all(wins))
 
 
 def cap_sweep():
