@@ -88,6 +88,7 @@ def main():
     use_prepared = (cfg.use_pallas and cfg.input_type == "ODS"
                     and jax.default_backend() == "tpu")
     _e2e_prepared = None
+    _picked_bf = None
     if use_prepared:
         candidates = ([True, False] if _pr.DEFAULT_FTBB else [False])
         for bf in candidates:
@@ -97,11 +98,32 @@ def main():
                 print(f"[bench] prepared pipeline (blend_fused={bf}): ok",
                       file=sys.stderr)
                 _e2e_prepared = fn
+                _picked_bf = bf
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"[bench] prepared pipeline (blend_fused={bf}) "
                       f"unavailable ({type(e).__name__}: "
                       f"{str(e)[:200]})", file=sys.stderr)
+        if _picked_bf:
+            # guard a silently-wrong blend-fused kernel: its output must
+            # match the prepared-stack pipeline (same sweep + net)
+            try:
+                a = jax.jit(_make_e2e_prepared(False))(state.params,
+                                                       batch)
+                b_ = jax.jit(_e2e_prepared)(state.params, batch)
+                dd = float(jnp.max(jnp.abs(a - b_)))
+                print(f"[bench] blend_fused-vs-prepared max err: "
+                      f"{dd:.2e}", file=sys.stderr)
+                if not (dd < 0.02):
+                    print("[bench] blend_fused output DIVERGES — "
+                          "dropping to the prepared pipeline",
+                          file=sys.stderr)
+                    _e2e_prepared = _make_e2e_prepared(False)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] blend_fused check failed "
+                      f"({type(e).__name__}) — keeping prepared "
+                      f"pipeline", file=sys.stderr)
+                _e2e_prepared = _make_e2e_prepared(False)
         use_prepared = _e2e_prepared is not None
         if not use_prepared:
             print("[bench] falling back to the round-2 path",
