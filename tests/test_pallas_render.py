@@ -201,3 +201,14 @@ def test_ftb_dispatch_via_prepared_cf():
                                              interpret=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=0, atol=2e-5)
+
+
+def test_blend_fused_supported_production_geometry():
+    """The production ERP (640x320, cap 16) must satisfy the blend-fused
+    band containment (cap >= band_lead, kv+1 <= cap) — a geometry
+    regression here would silently drop the fused path to the
+    prepared-stack pipeline."""
+    assert pallas_render.blend_fused_supported(320, 640)
+    assert pallas_render.blend_fused_supported(512, 1024)
+    # too-short mid section: must decline, not crash
+    assert not pallas_render.blend_fused_supported(32, 640)
