@@ -39,7 +39,23 @@ def main():
             return {"dtype": jnp.bfloat16}
         return None
 
+    # Device enumeration through the axon tunnel can hang indefinitely
+    # when the relay's TPU pool is unreachable (observed multi-hour
+    # outages); fail fast and loud instead of wedging the caller.
+    import threading
+
+    def _init_watchdog():
+        print("[bench] FATAL: TPU backend init exceeded 900 s — "
+              "tunnel down? aborting without a number", file=sys.stderr)
+        sys.stderr.flush()
+        import os
+        os._exit(3)
+
+    _t = threading.Timer(900.0, _init_watchdog)
+    _t.daemon = True
+    _t.start()
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    _t.cancel()
     state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
     batch = _synthetic_batch(cfg)
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
