@@ -489,7 +489,18 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 # channels-major window: rows are the sublane dim, so
                 # the two planar operands DMA straight in (two copies
                 # per band -> two sems per slot); row reads are static.
-                (bi, si) = add_vmem((nslots, cs, win_rows, swp), dtype,
+                # Mosaic requires HBM row slices 8-aligned in offset AND
+                # extent; the natural window [g0, g0+win_rows) starts at
+                # g0 = stride*b*rb - rate + X_ROW_PAD, a constant
+                # off = (X_ROW_PAD - rate) % 8 past an 8 boundary when
+                # stride*rb % 8 == 0 (always at production shapes), so
+                # copy the aligned superset [g0-off, g0-off+cp) and
+                # shift the static reads by off.
+                x_off = (X_ROW_PAD - rate) % 8
+                cp_rows = -(-(x_off + win_rows) // 8) * 8
+                scr["x_off"] = x_off
+                scr["x_cp"] = cp_rows
+                (bi, si) = add_vmem((nslots, cs, cp_rows, swp), dtype,
                                     nsems=2 * nslots)
             else:
                 (bi, si) = add_vmem((nslots, win_rows, cs, swp), dtype,
@@ -678,13 +689,16 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     # channels-major window <- two padded planar
                     # operands: full rectangles, no edge cases (the
                     # X_ROW_PAD pad bands absorb the rate-1 halo).
+                    # Copy the 8-aligned superset (see the window
+                    # allocation); reads add scr["x_off"].
                     x0, x1 = sbuf
                     pc = cin0 // 2
-                    g0 = stride * b * rb - rate + X_ROW_PAD
+                    g0a = (stride * b * rb - rate + X_ROW_PAD
+                           - scr["x_off"])
                     s0 = scr["win_sems"][wi]
                     for j, part in enumerate((x0, x1)):
                         getattr(pltpu.make_async_copy(
-                            part.at[:, pl.ds(g0, win_rows), :],
+                            part.at[:, pl.ds(g0a, scr["x_cp"]), :],
                             vref.at[slot, pl.ds(j * pc, pc)],
                             sem.at[s0 + 2 * slot + j]), action)()
                     return
@@ -852,6 +866,7 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                si=si, rb=rb, r_pack=r_pack,
                                kcx_op=kcx_op, cvec_ref=cvec_ref,
                                ob_i=scr["oband"],
+                               x_off=scr["x_off"],
                                pack_i=scr.get("pack_rhs")):
                         win = vrefs[vref_i]
                         ob = vrefs[ob_i]
@@ -866,7 +881,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                                         rhsb[dy * sc:(dy + 1) * sc,
                                              k * swp:(k + 1) * swp] = \
                                             win[slot, :,
-                                                base + k + dy, :]
+                                                x_off + base + k + dy,
+                                                :]
                                 rhs = rhsb[0:3 * sc, 0:r_pack * swp]
                                 y = jnp.dot(
                                     Lst[:, :], rhs,
@@ -874,7 +890,8 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                             else:
                                 y = None
                                 for dy in range(3):
-                                    rr = win[slot, :, base + dy, :]
+                                    rr = win[slot, :,
+                                             x_off + base + dy, :]
                                     t = jnp.dot(
                                         Lst[:, dy * sc:(dy + 1) * sc],
                                         rr,

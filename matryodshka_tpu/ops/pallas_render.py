@@ -454,11 +454,15 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
     nt = width // wb if wb else 1
     wbw = wb if wb else width
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    # HBM row slices must be 8-aligned in offset AND extent (Mosaic);
+    # the offset is aligned by _band_geometry's congruence, the extent
+    # is rounded up (the caller's scratch + bounds account for band8).
+    band8 = 8 * -(-band // 8)
 
     base_abs = cap + blk * row_block
     g0 = pl.multiple_of(base_abs - band_lead + pad, 8)
     cp = pltpu.make_async_copy(
-        layer_hbm.at[:, :, pl.ds(g0, band), :], band_ref, copy_sem)
+        layer_hbm.at[:, :, pl.ds(g0, band8), :], band_ref, copy_sem)
     cp.start()
 
     j = jax.lax.broadcasted_iota(
@@ -605,8 +609,8 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
     volumes are never touched.
 
     Reads the sweep kernel's flipped plane-major volumes fgP/bgP
-    ([P, 3, H + 2*vpad, W], ANY) and the net prediction ([H, K, W] f32
-    row-major, ANY: blend channel p, alpha channel planes + p) and
+    ([P, 3, H + 2*vpad, W], ANY) and the net prediction ([K, H, W] f32
+    channel-major, ANY: blend channel p, alpha channel planes + p) and
     blends rgb = w*fg + (1-w)*bg, a = (pa+1)/2 per plane band in VMEM —
     the [P, 4, H+2*pad, W] `prepared` stack is never materialized in
     HBM (it cost a 58 MB write + read per frame at 640x320x32, plus the
@@ -619,6 +623,9 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
     nt = width // wb if wb else 1
     wbw = wb if wb else width
     band_lead, band, _ = _band_geometry(cap, row_block, kv_max)
+    # 8-aligned band extent (Mosaic HBM slice rule); the caller asserts
+    # the bounds (kv_max + 1 + (band8 - band) <= cap).
+    band8 = 8 * -(-band // 8)
 
     base_abs = cap + blk * row_block
     g0u = base_abs - band_lead          # unpadded band start, >= 0
@@ -628,16 +635,16 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
         p = planes - 1 - pi
         if not depth:
             pltpu.make_async_copy(
-                fg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band), :],
+                fg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band8), :],
                 fgb_ref.at[pl.ds(slot, 1)], sems.at[slot, 0]).start()
             pltpu.make_async_copy(
-                bg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band), :],
+                bg_hbm.at[pl.ds(p, 1), :, pl.ds(g0, band8), :],
                 bgb_ref.at[pl.ds(slot, 1)], sems.at[slot, 1]).start()
             pltpu.make_async_copy(
-                pred_hbm.at[pl.ds(g0u, band), pl.ds(p, 1), :],
+                pred_hbm.at[pl.ds(p, 1), pl.ds(g0u, band8), :],
                 blb_ref.at[slot], sems.at[slot, 2]).start()
         pltpu.make_async_copy(
-            pred_hbm.at[pl.ds(g0u, band), pl.ds(planes + p, 1), :],
+            pred_hbm.at[pl.ds(planes + p, 1), pl.ds(g0u, band8), :],
             alb_ref.at[slot], sems.at[slot, 3]).start()
 
     def wait(slot):
@@ -685,13 +692,13 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
         def _():
             # fused assemble: blend the band in f32 (blend_psv math,
             # msi.py:108-273 / assemble_rgba_prepared)
-            alw = (alb_ref[slot, :, 0, :] + 1.0) * 0.5
+            alw = (alb_ref[slot, 0, :, :] + 1.0) * 0.5
             if depth:
                 val = p.astype(jnp.float32) / float(planes)
                 bandf_ref[0:3, :, :] = jnp.full(
-                    (3, band, width), 0.0, jnp.float32) + val
+                    (3, band8, width), 0.0, jnp.float32) + val
             else:
-                blw = (blb_ref[slot, :, 0, :] + 1.0) * 0.5  # [band, W]
+                blw = (blb_ref[slot, 0, :, :] + 1.0) * 0.5  # [band8, W]
                 fg = fgb_ref[slot].astype(jnp.float32)
                 bg = bgb_ref[slot].astype(jnp.float32)
                 bandf_ref[0:3, :, :] = (blw[None] * fg
@@ -829,9 +836,12 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
     hm = u.shape[1]
     h = hm + 2 * cap
     band_lead, band, _ = _band_geometry(cap, row_block, kv_max)
-    assert cap >= band_lead and kv_max + 1 <= cap, (
-        "band would leave [0, H)", cap, band_lead, kv_max)
+    band8 = 8 * -(-band // 8)
+    assert cap >= band_lead and kv_max + 1 + (band8 - band) <= cap, (
+        "band8 would leave [0, H)", cap, band_lead, kv_max, band8, band)
     assert fgP.shape[2] == h + 2 * vpad, (fgP.shape, h, vpad)
+    assert (h - cap - row_block) - band_lead + vpad + band8 \
+        <= h + 2 * vpad, ("fg band8 overrun", band8, vpad)
     mv = 2 * kv_max + 2
     if wb is not None:
         assert w % wb == 0 and wb % 128 == 0, (w, wb)
@@ -859,12 +869,12 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
         out_specs=pl.BlockSpec((3, row_block, w), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, band, w), fgP.dtype),
-            pltpu.VMEM((2, 3, band, w), bgP.dtype),
-            pltpu.VMEM((2, band, 1, w), jnp.float32),
-            pltpu.VMEM((2, band, 1, w), jnp.float32),
-            pltpu.VMEM((4, band, w), jnp.float32),
-            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((2, 3, band8, w), fgP.dtype),
+            pltpu.VMEM((2, 3, band8, w), bgP.dtype),
+            pltpu.VMEM((2, 1, band8, w), jnp.float32),
+            pltpu.VMEM((2, 1, band8, w), jnp.float32),
+            pltpu.VMEM((4, band8, w), jnp.float32),
+            pltpu.VMEM((4, band8, w), jnp.float32),
             pltpu.VMEM((mv, row_block, w), jnp.float32),
             pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.VMEM((row_block, w), jnp.float32),
@@ -881,7 +891,10 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(kt, mt, fgP, bgP, pred, u, v)
+    )(kt, mt, fgP, bgP,
+      # [K, H, W]: the per-plane channel slices must ride the UNtiled
+      # leading dim (Mosaic rejects extent-1 slices of the tiled K dim)
+      jnp.transpose(pred, (1, 0, 2)), u, v)
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -893,8 +906,10 @@ def blend_fused_supported(h: int, w: int, cap: int = CAP_ROWS,
     if not shape_supported(h, w, 4, cap, row_block, True):
         return False
     geom = prepared_geometry(h, w, cap, row_block)
-    band_lead, _, _ = _band_geometry(cap, row_block, geom["kv_max"])
-    return cap >= band_lead and geom["kv_max"] + 1 <= cap
+    band_lead, band, _ = _band_geometry(cap, row_block, geom["kv_max"])
+    band8 = 8 * -(-band // 8)
+    return (cap >= band_lead
+            and geom["kv_max"] + 1 + (band8 - band) <= cap)
 
 
 def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
@@ -938,7 +953,12 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
     hm = u.shape[1]
     assert c == 4 and hm % row_block == 0, (c, hm, row_block)
     band_lead, band, pad = _band_geometry(cap, row_block, kv_max)
+    band8 = 8 * -(-band // 8)
     assert hpad == (hm + 2 * cap) + 2 * pad, (hpad, hm, cap, pad)
+    # last block's 8-aligned band superset must stay inside the padded
+    # stack: g0_last + band8 <= hpad
+    assert (cap + hm - row_block) - band_lead + pad + band8 <= hpad, (
+        "band8 overruns the padded stack", band8, pad, hpad)
     mv = 2 * kv_max + 2
     if wb is not None:
         assert w % wb == 0 and wb % 128 == 0, (w, wb)
@@ -964,8 +984,8 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
         out_specs=pl.BlockSpec((3, row_block, w), lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((p, 4, band, w), layers_flipped_padded.dtype),
-            pltpu.VMEM((4, band, w), jnp.float32),
+            pltpu.VMEM((p, 4, band8, w), layers_flipped_padded.dtype),
+            pltpu.VMEM((4, band8, w), jnp.float32),
             pltpu.VMEM((mv, row_block, w), jnp.float32),
             pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.VMEM((row_block, w), jnp.float32),

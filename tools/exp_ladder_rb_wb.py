@@ -62,7 +62,8 @@ def main():
     for rb in (32, 16):
         lay = jax.block_until_ready(pr.prepare_layers(
             layers, CAP, rb, kv, jnp.bfloat16))
-        for wb in (None, 128, 256):
+        # wb must divide W (640) and be 128-aligned: only 128 works
+        for wb in (None, 128):
             line = f"[exp] rb={rb} wb={wb}:"
             for pname, uvm in uvms.items():
                 @jax.jit
