@@ -500,6 +500,12 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 cp_rows = -(-(x_off + win_rows) // 8) * 8
                 scr["x_off"] = x_off
                 scr["x_cp"] = cp_rows
+                # SINGLE slot: at 192 input channels the double-buffered
+                # window is 15.7 MB and blew the 128 MB VMEM ceiling
+                # (measured: 131.36 M requested). The next band's copy
+                # is started as soon as row_fn frees the window, so
+                # only the band-top flush/pack time is exposed.
+                nslots = 1
                 (bi, si) = add_vmem((nslots, cs, cp_rows, swp), dtype,
                                     nsems=2 * nslots)
             else:
@@ -805,11 +811,20 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             for wi in range(len(srcs)):
                 on_win(wi, 0, 0, "start")
 
+            # A stage's windows are either all double-buffered or all
+            # single-slot (only conv1_1's planar x window is single —
+            # and "x" is that stage's sole source), so row_fn can keep
+            # its (b, slot, oslot) signature: slot IS the window slot.
+            win_nslots = {scr["wins"][wi][2] for wi in range(len(srcs))}
+            assert len(win_nslots) == 1, (name, win_nslots)
+            dbuf = win_nslots.pop() > 1
+
             def band(b, _):
-                slot = jax.lax.rem(b, 2) if nb > 1 else 0
-                oslot = slot if oslots > 1 else 0
+                slot = jax.lax.rem(b, 2) if (nb > 1 and dbuf) else 0
+                oslot = (jax.lax.rem(b, 2)
+                         if (nb > 1 and oslots > 1) else 0)
                 for wi in range(len(srcs)):
-                    if nb > 1:
+                    if nb > 1 and dbuf:
                         @pl.when(b + 1 < nb)
                         def _(wi=wi):
                             on_win(wi, b + 1, 1 - slot, "start")
@@ -823,6 +838,13 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                     row_fn(b, slot, oslot, norms)
                 else:
                     row_fn(b, slot, oslot)
+                # single-slot windows are free once row_fn consumed
+                # them: start the next band's copy before the flush.
+                if nb > 1 and not dbuf:
+                    for wi in range(len(srcs)):
+                        @pl.when(b + 1 < nb)
+                        def _(wi=wi):
+                            on_win(wi, b + 1, 0, "start")
                 flush(b, oslot)
                 return 0
 
@@ -1320,7 +1342,7 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     return outs[0]
