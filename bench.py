@@ -161,103 +161,6 @@ def main():
                                             use_pallas=cfg.use_pallas,
                                             pallas_opts=_render_opts(cfg))
 
-    # component pieces for the stderr breakdown
-    @jax.jit
-    def sweep_only(batch):
-        ref = msi_lib.preprocess_image(batch["ref_image"])
-        src = msi_lib.preprocess_image(batch["src_image"])
-        return sweep_lib.format_network_input(
-            ref, src, batch["ref_pose"], batch["src_pose"],
-            batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
-            use_pallas=cfg.use_pallas)
-
-    net_input = sweep_only(batch)
-
-    @jax.jit
-    def net_only(params, net_input):
-        return model.apply(params, net_input)
-
-    @jax.jit
-    def render_only(rgba, tgt_pose):
-        b = rgba.shape[0]
-        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-        return msi_lib.render_equirect_view(rgba, eye, tgt_pose, msi_depths,
-                                            use_pallas=cfg.use_pallas,
-                                            pallas_opts=_render_opts(cfg))
-
-    pred = net_only(state.params, net_input)
-    rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred, net_input,
-                                 cfg.num_msi_planes)["rgba_layers"]
-
-    # prepared-path component stages (the layout-tax-free hot path)
-    if use_prepared:
-        from matryodshka_tpu.geometry import render as render_geo
-        from matryodshka_tpu.ops import pallas_render, pallas_sweep
-
-        planar = fused_net is not None and fused_net[3]
-
-        @jax.jit
-        def sweep_prepared(batch):
-            ref = msi_lib.preprocess_image(batch["ref_image"])
-            src = msi_lib.preprocess_image(batch["src_image"])
-            if planar:
-                return pallas_sweep.ods_sweep_identity_planar(
-                    ref, src, psv_depths, batch["intrinsics"],
-                    out_dtype=cfg.jnp_compute_dtype)
-            _, fg, bg = pallas_sweep.ods_sweep_identity_prepared(
-                ref, src, psv_depths, batch["intrinsics"],
-                out_dtype=cfg.jnp_compute_dtype)
-            return fg, bg
-
-        fgV, bgV = sweep_prepared(batch)       # padded planar if planar
-        if planar:
-            pad = pallas_sweep.NET_ROW_PAD
-            fgF = fgV[:, :, :, pad:pad + cfg.height]
-            bgF = bgV[:, :, :, pad:pad + cfg.height]
-        else:
-            fgF, bgF = fgV, bgV
-        cap_pad = render_geo._cap_band_pad(cfg.height, cfg.width,
-                                           pallas_render.CAP_ROWS)
-
-        if fused_net is not None:
-            from matryodshka_tpu.ops import pallas_net
-
-            @jax.jit
-            def net_fused(fgV, bgV):
-                net_ops, ngf, k, flipped, net_variant = fused_net
-                if planar:
-                    p_, c_, hp_, w_ = fgV.shape[1:]
-                    return pallas_net.unet_forward(
-                        (fgV[0].reshape(p_ * c_, hp_, w_),
-                         bgV[0].reshape(p_ * c_, hp_, w_)),
-                        net_ops, ngf, k, flipped=flipped,
-                        variant=net_variant)
-
-                def _rm(v):
-                    p_, c_, h_, w_ = v.shape
-                    u = v if flipped else jnp.flip(v, axis=3)
-                    u = u.reshape(p_ * c_, h_, w_)
-                    return jnp.transpose(u, (1, 0, 2))
-                x_rm = jnp.concatenate([_rm(fgV[0]), _rm(bgV[0])],
-                                       axis=1)
-                return pallas_net.unet_forward(
-                    x_rm.astype(cfg.jnp_compute_dtype), net_ops, ngf, k,
-                    flipped=flipped, variant=net_variant)
-
-        @jax.jit
-        def assemble_render(msi_pred, fgF, bgF, tgt_pose):
-            per = [msi_lib.assemble_rgba_prepared(
-                cfg.which_color_pred, msi_pred[i], fgF[i], bgF[i],
-                cfg.num_msi_planes, cap_pad=cap_pad,
-                dtype=cfg.jnp_compute_dtype)
-                for i in range(msi_pred.shape[0])]
-            outs = {k: jnp.stack([d[k] for d in per])
-                    for k in ("prepared", "cap_top", "cap_bot")}
-            b = msi_pred.shape[0]
-            eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
-            return msi_lib.render_equirect_view_from_prepared(
-                outs, eye, tgt_pose, msi_depths, cfg.height)
-
     # Through the remote-TPU relay, per-dispatch round trips (~25-35 ms)
     # dwarf the compute; chain K frames inside ONE jit with a data
     # dependency so the measurement is steady-state device time.
@@ -281,37 +184,147 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / (iters * chain) * 1000.0
 
-    # exactness of the fused render vs the gather path on this input
-    # (the kernel's ladder is exact; bf16 storage adds ~2e-3 quantization)
-    gather_out = jax.jit(lambda r, t: msi_lib.render_equirect_view(
-        r.astype(jnp.float32), jnp.tile(jnp.eye(4)[None], (r.shape[0], 1, 1)),
-        t, msi_depths))(rgba, batch["tgt_pose"])
-    pallas_out = render_only(rgba, batch["tgt_pose"])
-    err = float(jnp.max(jnp.abs(gather_out - pallas_out)))
-    print(f"[bench] pallas-vs-gather max err: {err:.2e}", file=sys.stderr)
+    # Full-pipeline exactness: the hot path (fused sweep/net/render
+    # kernels, bf16 storage) against the reference-semantics path (XLA
+    # net + f32 gather render). Bounds every kernel divergence at once.
+    hot_out = jax.jit(e2e)(state.params, batch)
 
-    ms_sweep = timeit(sweep_only, batch, iters=20)
-    ms_net = timeit(net_only, state.params, net_input, iters=20)
-    ms_render = timeit(render_only, rgba, batch["tgt_pose"], iters=20)
-    if use_prepared:
-        err_p = float(jnp.max(jnp.abs(
-            gather_out - assemble_render(pred, fgF, bgF,
-                                         batch["tgt_pose"]))))
-        print(f"[bench] prepared-vs-gather max err: {err_p:.2e}",
-              file=sys.stderr)
-        ms_sweep_p = timeit(sweep_prepared, batch, iters=20)
-        ms_ar = timeit(assemble_render, pred, fgF, bgF,
-                       batch["tgt_pose"], iters=20)
-        msg = (f"[bench] sweep_prepared={ms_sweep_p:.2f}ms "
-               f"assemble+render={ms_ar:.2f}ms")
-        if fused_net is not None:
-            ms_nf = timeit(net_fused, fgV, bgV, iters=20)
-            msg += f" net_fused={ms_nf:.2f}ms"
-        print(msg, file=sys.stderr)
+    @jax.jit
+    def e2e_reference(params, batch):
+        outputs = msi_lib.infer_msi(lambda p, x: model.apply(p, x),
+                                    params, cfg, batch, psv_depths)
+        rgba = outputs["rgba_layers"].astype(jnp.float32)
+        b = rgba.shape[0]
+        eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+        return msi_lib.render_equirect_view(rgba, eye, batch["tgt_pose"],
+                                            msi_depths, use_pallas=False)
+
+    ref_out = e2e_reference(state.params, batch)
+    err = float(jnp.max(jnp.abs(hot_out - ref_out)))
+    print(f"[bench] hot-path vs reference-semantics e2e max err: "
+          f"{err:.2e}", file=sys.stderr)
+
+    # ---- stage breakdown: CHAINED timers on the hot path's OWN
+    # operands, so the stages compose to ≈ e2e (no layout-mismatched
+    # legacy stages; VERDICT r3 item 4) ----
+    planar = (use_prepared and fused_net is not None and fused_net[3])
+    stage_msg = None
+    if planar:
+        from matryodshka_tpu.ops import pallas_net, pallas_sweep
+        net_ops, ngf, k_out, flipped, net_variant = fused_net
+        pad = pallas_sweep.NET_ROW_PAD
+        hp = cfg.height + 2 * pad
+
+        @jax.jit
+        def stage_sweep(batch):
+            def body(_, rr):
+                r = msi_lib.preprocess_image(rr)
+                s = msi_lib.preprocess_image(batch["src_image"])
+                fgP, _ = pallas_sweep.ods_sweep_identity_planar(
+                    r, s, psv_depths, batch["intrinsics"],
+                    out_dtype=cfg.jnp_compute_dtype)
+                return jnp.clip(
+                    rr * 0.999 + fgP.astype(jnp.float32).mean() * 1e-6,
+                    0.0, 1.0)
+            return jax.lax.fori_loop(0, CHAIN, body, batch["ref_image"])
+
+        @jax.jit
+        def _mk_operands(batch):
+            r = msi_lib.preprocess_image(batch["ref_image"])
+            s = msi_lib.preprocess_image(batch["src_image"])
+            return pallas_sweep.ods_sweep_identity_planar(
+                r, s, psv_depths, batch["intrinsics"],
+                out_dtype=cfg.jnp_compute_dtype)
+
+        fgP0, bgP0 = _mk_operands(batch)
+        b_, p_, c_ = fgP0.shape[0], fgP0.shape[1], fgP0.shape[2]
+
+        def _net(fgP, bgP):
+            return jnp.stack([pallas_net.unet_forward(
+                (fgP[i].reshape(p_ * c_, hp, cfg.width),
+                 bgP[i].reshape(p_ * c_, hp, cfg.width)),
+                net_ops, ngf, k_out, flipped=flipped,
+                variant=net_variant) for i in range(b_)])
+
+        @jax.jit
+        def stage_net(fgP, bgP):
+            def body(_, xs):
+                a, bb = xs
+                y = _net(a, bb)
+                dep = (y.astype(jnp.float32).mean() * 1e-6).astype(
+                    a.dtype)
+                return (a * 0.999 + dep, bb)
+            return jax.lax.fori_loop(0, CHAIN, body, (fgP, bgP))
+
+        pred0 = jax.jit(_net)(fgP0, bgP0)
+
+        @jax.jit
+        def stage_assemble_render(pred, fgP, bgP, tgt_pose):
+            def body(_, pp):
+                outs = msi_lib.assemble_outputs_planar(
+                    cfg, pp, fgP, bgP, blend_fused=bool(_picked_bf))
+                eye = jnp.tile(jnp.eye(4)[None], (b_, 1, 1))
+                img = msi_lib.render_equirect_view_from_prepared(
+                    outs, eye, tgt_pose, msi_depths, cfg.height)
+                return pp * 0.999 + img.mean().astype(pp.dtype) * 1e-6
+            return jax.lax.fori_loop(0, CHAIN, body, pred)
+
+        ms_sw = timeit(stage_sweep, batch, iters=3, chain=CHAIN)
+        ms_nt = timeit(stage_net, fgP0, bgP0, iters=3, chain=CHAIN)
+        ms_ar = timeit(stage_assemble_render, pred0, fgP0, bgP0,
+                       batch["tgt_pose"], iters=3, chain=CHAIN)
+        stage_msg = (f"[bench] stages (chained, hot-path operands, "
+                     f"blend_fused={bool(_picked_bf)}): sweep={ms_sw:.2f} "
+                     f"net={ms_nt:.2f} assemble+render={ms_ar:.2f} "
+                     f"sum={ms_sw + ms_nt + ms_ar:.2f} ms")
+    else:
+        # Fallback pipelines get the coarse (non-additive) component
+        # timings — enough to see which piece regressed.
+        @jax.jit
+        def sweep_only(batch):
+            ref = msi_lib.preprocess_image(batch["ref_image"])
+            src = msi_lib.preprocess_image(batch["src_image"])
+            return sweep_lib.format_network_input(
+                ref, src, batch["ref_pose"], batch["src_pose"],
+                batch["ref_pose_inv"], psv_depths, batch["intrinsics"],
+                use_pallas=cfg.use_pallas)
+
+        net_input = sweep_only(batch)
+
+        @jax.jit
+        def net_only(params, net_input):
+            return model.apply(params, net_input)
+
+        pred = net_only(state.params, net_input)
+        rgba = msi_lib.assemble_rgba(cfg.which_color_pred, pred,
+                                     net_input,
+                                     cfg.num_msi_planes)["rgba_layers"]
+
+        @jax.jit
+        def render_only(rgba, tgt_pose):
+            b = rgba.shape[0]
+            eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+            return msi_lib.render_equirect_view(
+                rgba, eye, tgt_pose, msi_depths,
+                use_pallas=cfg.use_pallas,
+                pallas_opts=_render_opts(cfg))
+
+        ms_sweep = timeit(sweep_only, batch, iters=20)
+        ms_net = timeit(net_only, state.params, net_input, iters=20)
+        ms_render = timeit(render_only, rgba, batch["tgt_pose"],
+                           iters=20)
+        stage_msg = (f"[bench] stages (FALLBACK path, non-additive): "
+                     f"sweep={ms_sweep:.2f} net={ms_net:.2f} "
+                     f"render={ms_render:.2f} ms")
+
     ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)
 
-    print(f"[bench] sweep={ms_sweep:.2f}ms net={ms_net:.2f}ms "
-          f"render={ms_render:.2f}ms e2e={ms_e2e:.2f}ms", file=sys.stderr)
+    print(stage_msg + f" | e2e={ms_e2e:.2f} ms", file=sys.stderr)
+    print(f"[bench] flags: ftb={_pr.DEFAULT_FTB} ftbb={_pr.DEFAULT_FTBB} "
+          f"wb={_pr.default_wb(cfg.width)} "
+          f"net={'fused-' + fused_net[4] if fused_net else 'xla'} "
+          f"pipeline={'blend_fused' if _picked_bf else ('prepared' if use_prepared else 'round2')}",
+          file=sys.stderr)
 
     fps = 1000.0 / ms_e2e
     print(json.dumps({

@@ -444,7 +444,6 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
                 net_ops, ngf, k, interpret=interpret, flipped=flipped,
                 variant=net_variant))
         msi_pred = jnp.stack(preds)          # [B, H, K, W]
-        pred_layout = "hkwF"
 
         def _nl(vol):                        # [P,C,H,W] -> [H,W,P*C]
             un = jnp.flip(vol, axis=3)
@@ -454,34 +453,8 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
             jnp.concatenate([_nl(fgF[i]), _nl(bgF[i])], axis=-1)
             for i in range(b)])              # tests only; DCE'd in prod
 
-        blend_fused = (pallas_render.DEFAULT_FTBB if blend_fused is None
-                       else blend_fused)
-        if (blend_fused and cfg.which_color_pred == "blend_psv"
-                and cfg.num_msi_planes == cfg.num_psv_planes
-                and pallas_render.blend_fused_supported(h, w)):
-            # blend-fused FTB path: only the pole-cap strips are
-            # assembled here; the mid rows blend inside the render
-            # kernel from fgP/bgP/msi_pred directly.
-            per = [assemble_caps_blend_psv(
-                msi_pred[i], fgF[i], bgF[i], cfg.num_msi_planes,
-                cap_pad=cap_pad, dtype=cfg.jnp_compute_dtype)
-                for i in range(b)]
-            out = {k2: jnp.stack([d[k2] for d in per])
-                   for k2 in ("cap_top", "cap_bot")}
-            out["fgP"] = fgP
-            out["bgP"] = bgP
-            out["msi_pred"] = msi_pred
-            out["net_input"] = net_input
-            return out
-        per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
-                                      fgF[i], bgF[i], cfg.num_msi_planes,
-                                      cap_pad=cap_pad,
-                                      dtype=cfg.jnp_compute_dtype,
-                                      pred_layout=pred_layout)
-               for i in range(b)]
-        out = {k2: jnp.stack([d[k2] for d in per])
-               for k2 in ("prepared", "cap_top", "cap_bot")}
-        out["msi_pred"] = msi_pred
+        out = assemble_outputs_planar(cfg, msi_pred, fgP, bgP,
+                                      blend_fused=blend_fused)
         out["net_input"] = net_input
         return out
     net_input, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
@@ -523,6 +496,59 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
            for k in ("prepared", "cap_top", "cap_bot")}
     out["msi_pred"] = msi_pred
     out["net_input"] = net_input
+    return out
+
+
+def assemble_outputs_planar(cfg: MatryConfig, msi_pred: Array,
+                            fgP: Array, bgP: Array,
+                            blend_fused=None) -> Dict[str, Array]:
+    """The post-net tail of the PLANAR fused pipeline: msi_pred
+    [B,H,K,W] (hkwF layout) + the sweep's padded planar volumes
+    [B,P,C,H+2pad,W] -> the render-native outputs dict that
+    render_equirect_view_from_prepared consumes. Shared by
+    infer_msi_prepared and bench.py's stage breakdown so the timed
+    stages compose to exactly the e2e pipeline.
+
+    blend_fused=True (requires blend_psv + equal plane counts +
+    kernel-supported shape) assembles ONLY the pole-cap strips here and
+    hands fgP/bgP/msi_pred through for the in-kernel blend; otherwise
+    the full render-native `prepared` stack is assembled.
+    """
+    from matryodshka_tpu.geometry import render as render_geo
+    from matryodshka_tpu.ops import pallas_render, pallas_sweep
+    h, w = cfg.height, cfg.width
+    pad = pallas_sweep.NET_ROW_PAD
+    cap_pad = render_geo._cap_band_pad(h, w, pallas_render.CAP_ROWS)
+    fgF = fgP[:, :, :, pad:pad + h]
+    bgF = bgP[:, :, :, pad:pad + h]
+    b = fgP.shape[0]
+    blend_fused = (pallas_render.DEFAULT_FTBB if blend_fused is None
+                   else blend_fused)
+    if (blend_fused and cfg.which_color_pred == "blend_psv"
+            and cfg.num_msi_planes == cfg.num_psv_planes
+            and pallas_render.blend_fused_supported(h, w)):
+        # blend-fused FTB path: only the pole-cap strips are
+        # assembled here; the mid rows blend inside the render
+        # kernel from fgP/bgP/msi_pred directly.
+        per = [assemble_caps_blend_psv(
+            msi_pred[i], fgF[i], bgF[i], cfg.num_msi_planes,
+            cap_pad=cap_pad, dtype=cfg.jnp_compute_dtype)
+            for i in range(b)]
+        out = {k2: jnp.stack([d[k2] for d in per])
+               for k2 in ("cap_top", "cap_bot")}
+        out["fgP"] = fgP
+        out["bgP"] = bgP
+        out["msi_pred"] = msi_pred
+        return out
+    per = [assemble_rgba_prepared(cfg.which_color_pred, msi_pred[i],
+                                  fgF[i], bgF[i], cfg.num_msi_planes,
+                                  cap_pad=cap_pad,
+                                  dtype=cfg.jnp_compute_dtype,
+                                  pred_layout="hkwF")
+           for i in range(b)]
+    out = {k2: jnp.stack([d[k2] for d in per])
+           for k2 in ("prepared", "cap_top", "cap_bot")}
+    out["msi_pred"] = msi_pred
     return out
 
 

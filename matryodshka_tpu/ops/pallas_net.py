@@ -317,6 +317,13 @@ def static_operands(w: int, dtype=jnp.bfloat16,
 _EPS = 1e-12
 
 
+# VMEM ceiling handed to Mosaic: 1 MiB under the 128 MiB physical VMEM
+# so the compiler keeps a little slack for its own spills. Any scratch
+# growth (e.g. _ROW_BAND or channel changes) is caught EARLY by the
+# explicit vmem_bytes assert in _forward rather than by an opaque
+# Mosaic allocation failure.
+VMEM_LIMIT_BYTES = 127 * 1024 * 1024
+
 _ROW_BAND = 16   # 20/32 exceed the 128M VMEM cap with the window set
 
 
@@ -399,7 +406,10 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
 
     # Per-stage VMEM window/band scratch. Window = input rows needed for
     # one band of output rows (+1 spare slot for double buffering when
-    # the stage has >1 band). Out band = one band of output rows.
+    # the stage has >1 band — except conv1_1's planar x window, which is
+    # deliberately single-slot: its operands stream straight from the
+    # input HBM ref, see the planar-x path below). Out band = one band
+    # of output rows.
     # Stages run sequentially with all DMAs drained at stage end, so
     # buffers (and their semaphores) are POOLED by shape: each stage
     # claims the n-th instance of a shape for its n-th use, and two
@@ -1321,9 +1331,17 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
              num_outputs: int, interpret: bool = False,
              planar_x: bool = False, variant: str = "wrap") -> Array:
     dtype = operands[0].dtype
-    kernel, scratch, total_ops, hbm_out_shapes, _ = _build_kernel(
+    kernel, scratch, total_ops, hbm_out_shapes, vmem_bytes = _build_kernel(
         h, w, ngf, cin0, num_outputs, dtype, planar_x=planar_x,
         variant=variant)
+    # Build-time guard: the declared scratch must fit under the Mosaic
+    # limit with headroom for the compiler's own temporaries. Failing
+    # here names the overflow; failing inside Mosaic does not.
+    assert vmem_bytes <= VMEM_LIMIT_BYTES - 8 * 1024 * 1024, (
+        f"U-Net kernel scratch {vmem_bytes / 2**20:.1f} MiB leaves "
+        f"<8 MiB headroom under VMEM_LIMIT_BYTES "
+        f"({VMEM_LIMIT_BYTES / 2**20:.0f} MiB) — shrink _ROW_BAND or "
+        f"the window set")
     n_x = 2 if planar_x else 1
     n_cvecs = (sum(1 for e in unet_plan(ngf, cin0, num_outputs)
                    if e[1] in ("conv", "down"))
@@ -1342,7 +1360,7 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*operands)
     return outs[0]

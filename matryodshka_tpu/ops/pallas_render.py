@@ -1212,17 +1212,53 @@ def default_wb(w: int):
 FTB_EPS = 1e-6
 
 
-def _read_perf_flags():
+# The complete set of keys perf_flags.json may carry. Anything else is
+# a typo in the arming pipeline and must fail LOUDLY — a silently
+# ignored key would leave a measured-winning kernel disarmed.
+PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb"})
+
+
+def _read_perf_flags(path=None):
+    """Load + schema-check perf_flags.json. Absent file = defaults
+    (silent: that is the normal un-armed state). Corrupt JSON, unknown
+    keys, or non-bool values warn loudly and the offending entries are
+    dropped so a garbage file can never arm (or silently disarm) a
+    production kernel."""
     import json
     import os
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "perf_flags.json")
+    import warnings
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "perf_flags.json")
+    if not os.path.exists(path):
+        return {}, path
     try:
         with open(path) as f:
-            return json.load(f), path
-    except Exception:  # noqa: BLE001 — absent/corrupt file = defaults
+            raw = json.load(f)
+    except Exception as e:  # noqa: BLE001 — unreadable/corrupt file
+        warnings.warn(f"perf_flags.json at {path} is unreadable "
+                      f"({type(e).__name__}: {e}); kernel flags fall "
+                      f"back to defaults", stacklevel=2)
         return {}, path
+    if not isinstance(raw, dict):
+        warnings.warn(f"perf_flags.json must be a JSON object, got "
+                      f"{type(raw).__name__}; ignoring it", stacklevel=2)
+        return {}, path
+    flags = {}
+    for k, v in raw.items():
+        if k not in PERF_FLAG_SCHEMA:
+            warnings.warn(f"perf_flags.json: unknown key {k!r} "
+                          f"(known: {sorted(PERF_FLAG_SCHEMA)}) — "
+                          f"ignored; check the arming pipeline for a "
+                          f"typo", stacklevel=2)
+            continue
+        if not isinstance(v, bool):
+            warnings.warn(f"perf_flags.json: key {k!r} must be a JSON "
+                          f"bool, got {v!r} — ignored", stacklevel=2)
+            continue
+        flags[k] = v
+    return flags, path
 
 
 _PERF_FLAGS, PERF_FLAGS_PATH = _read_perf_flags()

@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Round-4 TPU measurement session: the numbers VERDICT r3 asked for.
+
+One process batches (the axon tunnel allows a single JAX client and
+costs minutes of init/compile):
+
+  1. training throughput — jitted DP train step at 640x320x32, L2 and
+     E-LPIPS, batch 1 (the reference budget: 140k steps,
+     scripts/train/ods-wotemp-elpips-coord.sh)
+  2. CoordNet fused-net timing at 640x320 (the released checkpoints'
+     variant)
+  3. high-res fused render: 1024x512 and the chunked 4096x2048 path
+
+Run:  python tools/r4_hw_session.py [phase ...]
+(no args = all phases)
+"""
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def phase(name, fn):
+    print(f"\n===== {name} =====", flush=True)
+    t0 = time.perf_counter()
+    try:
+        fn()
+        print(f"===== {name}: done ({time.perf_counter() - t0:.0f}s) =====",
+              flush=True)
+    except Exception:  # noqa: BLE001 — keep later phases alive
+        print(f"===== {name}: FAILED ({time.perf_counter() - t0:.0f}s) =====",
+              flush=True)
+        traceback.print_exc(limit=8)
+
+
+def _ods_batch(cfg, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    b, h, w = cfg.batch_size, cfg.height, cfg.width
+    eye = jnp.tile(jnp.eye(4)[None], (b, 1, 1))
+    intr = np.tile(np.eye(3, dtype=np.float32)[None], (b, 1, 1))
+    intr[:, 0, 0] = 0.032
+    return {
+        "ref_image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "src_image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "tgt_image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "ref_pose": eye, "src_pose": eye, "ref_pose_inv": eye,
+        "tgt_pose": jnp.tile(jnp.asarray([0.05, 0.0, 0.0])[None], (b, 1)),
+        "intrinsics": jnp.asarray(intr),
+    }
+
+
+def train_throughput():
+    """Steady-state DP train-step time at the production shape, both
+    loss variants. The reference trains 140k steps at batch 1
+    (scripts/train/ods-wotemp-elpips-coord.sh:7)."""
+    import jax
+
+    from matryodshka_tpu.cli.train import build_elpips_fn
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.parallel import dp, mesh as mesh_lib
+    from matryodshka_tpu.training import state as state_lib
+
+    for loss in ("pixel", "elpips"):
+        cfg = MatryConfig(height=320, width=640, num_psv_planes=32,
+                          num_msi_planes=32, ngf=64, batch_size=1,
+                          which_loss=loss, coord_net=True,
+                          compute_dtype="bfloat16").validate()
+        mesh = mesh_lib.make_mesh(data=1)
+        state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+        tx = state_lib.build_optimizer(cfg)
+        elpips_fn = build_elpips_fn(cfg) if loss == "elpips" else None
+        step_fn = dp.make_dp_train_step(cfg, model.apply, tx, mesh,
+                                        elpips_fn=elpips_fn)
+        batch = dp.shard_batch(
+            {k: np.asarray(v) for k, v in _ods_batch(cfg).items()}, mesh)
+        key = jax.random.PRNGKey(1)
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, key)
+        jax.block_until_ready(metrics["total_loss"])
+        compile_s = time.time() - t0
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+        jax.block_until_ready(metrics["total_loss"])
+        ms = (time.perf_counter() - t0) / n * 1000.0
+        hours_140k = ms / 1000.0 * 140_000 / 3600.0
+        print(f"[train] loss={loss}: {ms:.1f} ms/step "
+              f"({1000.0 / ms:.2f} steps/s), compile {compile_s:.0f}s, "
+              f"140k steps = {hours_140k:.1f} h "
+              f"(loss={float(metrics['total_loss']):.4f})", flush=True)
+
+
+def coordnet_net():
+    """The CoordNet whole-net kernel (the released checkpoints'
+    variant) vs the wrap variant, chained, production shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.ops import pallas_net
+    from matryodshka_tpu.training import state as state_lib
+
+    CHAIN = 20
+    h, w = 320, 640
+    for coord in (False, True):
+        cfg = MatryConfig(height=h, width=w, num_psv_planes=32,
+                          num_msi_planes=32, ngf=64, batch_size=1,
+                          coord_net=coord,
+                          compute_dtype="bfloat16").validate()
+        state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+        fused = msi_lib.fused_net_ops(model, state.params, cfg)
+        net_ops, ngf, k, flipped, variant = fused
+        pad = pallas_net.X_ROW_PAD
+        pc = cfg.num_psv_planes * 3
+        x0 = jnp.zeros((pc, h + 2 * pad, w), cfg.jnp_compute_dtype)
+
+        @jax.jit
+        def chain(a, b):
+            def body(_, xs):
+                aa, bb = xs
+                y = pallas_net.unet_forward((aa, bb), net_ops, ngf, k,
+                                            flipped=flipped,
+                                            variant=variant)
+                dep = (y.astype(jnp.float32).mean() * 1e-6).astype(
+                    aa.dtype)
+                return (aa * 0.999 + dep, bb)
+            return jax.lax.fori_loop(0, CHAIN, body, (a, b))
+
+        for _ in range(2):
+            jax.block_until_ready(chain(x0, x0))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(3):
+            out = chain(x0, x0)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / (3 * CHAIN) * 1000.0
+        print(f"[coordnet] variant={variant}: net_fused {ms:.2f} ms",
+              flush=True)
+
+
+def hres_fps():
+    """High-res fused re-render (the cli/test.py --test_type high_res
+    flow): chunked dual sweep + hres assembly + chunked ladder.
+    Reference: test.py:284-394 (4096x2048 supervision images)."""
+    import jax
+    import jax.numpy as jnp
+
+    from matryodshka_tpu.cli.test import build_hres_render_fn_fused
+    from matryodshka_tpu.config import MatryConfig
+
+    for hh, hw in ((512, 1024), (2048, 4096)):
+        cfg = MatryConfig(height=320, width=640, num_psv_planes=32,
+                          num_msi_planes=32, ngf=64, batch_size=1,
+                          hres_height=hh, hres_width=hw,
+                          compute_dtype="bfloat16").validate()
+        fn = build_hres_render_fn_fused(cfg)
+        if fn is None:
+            print(f"[hres] {hw}x{hh}: fused plan unavailable", flush=True)
+            continue
+        rng = np.random.RandomState(0)
+        b, h, w, p = 1, cfg.height, cfg.width, cfg.num_msi_planes
+        eye = jnp.eye(4)[None]
+        intr = np.eye(3, dtype=np.float32)[None].copy()
+        intr[:, 0, 0] = 0.032
+        args = (
+            jnp.asarray(rng.rand(b, hh, hw, 3).astype(np.float32)),
+            jnp.asarray(rng.rand(b, hh, hw, 3).astype(np.float32)),
+            jnp.asarray(rng.rand(b, h, w, p).astype(np.float32)),
+            jnp.asarray(rng.rand(b, h, w, p).astype(np.float32)),
+            eye, eye, eye, jnp.asarray(intr),
+            jnp.asarray([[0.02, 0.01, -0.015]]),
+        )
+        jfn = jax.jit(fn)
+        t0 = time.time()
+        jax.block_until_ready(jfn(*args))
+        compile_s = time.time() - t0
+        iters = 5
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = jfn(*args)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / iters * 1000.0
+        print(f"[hres] {hw}x{hh}: {ms:.1f} ms/frame "
+              f"({1000.0 / ms:.1f} fps), compile {compile_s:.0f}s",
+              flush=True)
+
+
+PHASES = {
+    "train": train_throughput,
+    "coordnet": coordnet_net,
+    "hres": hres_fps,
+}
+
+
+def main():
+    import jax
+    print("devices:", jax.devices(), flush=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/matry_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or \
+        list(PHASES)
+    for n in names:
+        phase(n, PHASES[n])
+
+
+if __name__ == "__main__":
+    main()
