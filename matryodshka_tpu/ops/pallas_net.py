@@ -342,8 +342,20 @@ def _row_band(rows: int) -> int:
 X_ROW_PAD = 8
 
 
+# Double-buffer conv1_1's planar x window (2 slots instead of 1).
+# Costs ~6 MB extra VMEM at production shapes; whether the recovered
+# DMA overlap beats the tighter VMEM budget is a hardware question —
+# armed via perf_flags.json ("net_x2"), measured by
+# tools/r4_hw_session.py. The profile motivation: net_planar 4.73 ms vs
+# net (row-major x, double-buffered window) 4.30 ms.
+def _default_net_x2() -> bool:
+    from matryodshka_tpu.ops.pallas_render import _PERF_FLAGS
+    return bool(_PERF_FLAGS.get("net_x2", False))
+
+
 def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
-                  dtype, planar_x: bool = False, variant: str = "wrap"):
+                  dtype, planar_x: bool = False, variant: str = "wrap",
+                  x_slots: int = 1):
     """Returns (kernel_fn, scratch_shapes, total_ops, vmem_bytes).
 
     variant="coord" builds the CoordNet CNN (the released checkpoints'
@@ -510,12 +522,15 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
                 cp_rows = -(-(x_off + win_rows) // 8) * 8
                 scr["x_off"] = x_off
                 scr["x_cp"] = cp_rows
-                # SINGLE slot: at 192 input channels the double-buffered
-                # window is 15.7 MB and blew the 128 MB VMEM ceiling
-                # (measured: 131.36 M requested). The next band's copy
-                # is started as soon as row_fn frees the window, so
-                # only the band-top flush/pack time is exposed.
-                nslots = 1
+                # Default SINGLE slot: an earlier (larger-arena) build
+                # measured the double-buffered window blowing the
+                # 128 MB VMEM ceiling (131.36 M requested). The next
+                # band's copy is started as soon as row_fn frees the
+                # window, so only the band-top flush/pack time is
+                # exposed. x_slots=2 (perf_flags "net_x2") re-enables
+                # double buffering now that the shared pack arena
+                # shrank the scratch set — a measured hardware choice.
+                nslots = min(x_slots, 2) if nb > 1 else 1
                 (bi, si) = add_vmem((nslots, cs, cp_rows, swp), dtype,
                                     nsems=2 * nslots)
             else:
@@ -1326,14 +1341,15 @@ def coord_operands(h: int, ngf: int, cin0: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "ngf", "cin0", "num_outputs", "interpret", "planar_x",
-    "variant"))
+    "variant", "x_slots"))
 def _forward(operands, h: int, w: int, ngf: int, cin0: int,
              num_outputs: int, interpret: bool = False,
-             planar_x: bool = False, variant: str = "wrap") -> Array:
+             planar_x: bool = False, variant: str = "wrap",
+             x_slots: int = 1) -> Array:
     dtype = operands[0].dtype
     kernel, scratch, total_ops, hbm_out_shapes, vmem_bytes = _build_kernel(
         h, w, ngf, cin0, num_outputs, dtype, planar_x=planar_x,
-        variant=variant)
+        variant=variant, x_slots=x_slots)
     # Build-time guard: the declared scratch must fit under the Mosaic
     # limit with headroom for the compiler's own temporaries. Failing
     # here names the overflow; failing inside Mosaic does not.
@@ -1368,7 +1384,8 @@ def _forward(operands, h: int, w: int, ngf: int, cin0: int,
 
 def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
                  num_outputs: int, interpret: bool = False,
-                 flipped: bool = False, variant: str = "wrap") -> Array:
+                 flipped: bool = False, variant: str = "wrap",
+                 x_slots: int = None) -> Array:
     """x_row_major: [H, C0, W] (bf16 recommended). Returns the tanh'd
     prediction in ROW-MAJOR [H, num_outputs, W] float32 (the transposed
     layout the prepared-assemble path wants).
@@ -1383,6 +1400,8 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
     flipped=True params) — the kernel consumes them directly with no
     XLA layout pass."""
     if isinstance(x_row_major, (tuple, list)):
+        if x_slots is None:
+            x_slots = 2 if _default_net_x2() else 1
         x0, x1 = x_row_major
         pc, hp, w = x0.shape
         assert x1.shape == x0.shape, (x0.shape, x1.shape)
@@ -1393,7 +1412,8 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
             ops += coord_operands(h, ngf, 2 * pc, num_outputs)
         return _forward(tuple(ops), h=h, w=w, ngf=ngf, cin0=2 * pc,
                         num_outputs=num_outputs, interpret=interpret,
-                        planar_x=True, variant=variant)
+                        planar_x=True, variant=variant,
+                        x_slots=x_slots)
     h, c0, w = x_row_major.shape
     ops = ([x_row_major] + list(params_ops)
            + static_operands(w, x_row_major.dtype, flipped,

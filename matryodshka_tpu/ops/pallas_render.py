@@ -297,7 +297,8 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          acc_ref, *,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
-                         abs_row0: int = None, band_origin: int = None):
+                         abs_row0: int = None, band_origin: int = None,
+                         parts: str = "all"):
     """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
     _render_kernel -- wide rolls are the efficient form, measured 1.78
     cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
@@ -314,7 +315,18 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     cancelled the volume win. Tables are per-(p, blk, tile), 16-bit
     packed (4 full [P,NBLK,NT] tables crash the TPU compile helper's
     SMEM budget at P=32).
+
+    `parts` is a MEASUREMENT-ONLY knob (tools/exp_ladder_parts.py):
+    "all" is the production kernel; the other values elide pieces to
+    split the stage budget (outputs are WRONG for any value but "all"):
+      "norolls"   — roll chain removed (taps read stale lanes)
+      "rollsonly" — rungs()/cvs removed: band copy + rolls + composite
+      "nofma"     — coefficients built and accumulated, tap read+mult
+                    skipped (acc += coef): all-nofma = tap FMA cost
     """
+    do_rolls = parts in ("all", "rollsonly", "nofma")
+    do_rungs = parts != "rollsonly"
+    do_tap = parts in ("all", "norolls")
     p = pl.program_id(0)
     nblk = h_mid // row_block
     nt = width // wb
@@ -352,16 +364,19 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
         gmlo = functools.reduce(jnp.minimum, [m[0] for _, m in bounds])
         gmhi = functools.reduce(jnp.maximum, [m[1] for _, m in bounds])
 
-        for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-            @pl.when((m >= gmlo) & (m <= gmhi + 1))
-            def _(mi=mi, m=m):
-                cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
-                                     + fy * (dy == m - 1))
+        if do_rungs:
+            for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                def _(mi=mi, m=m):
+                    cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
+                                         + fy * (dy == m - 1))
 
         acc_ref[:, :, :] = jnp.zeros((4, row_block, width),
                                      acc_ref.dtype)
 
         def rungs(k):
+            if not do_rungs:
+                return
             kf = k.astype(jnp.float32)
             for t in range(nt):
                 (tklo, tkhi), (tmlo, tmhi) = bounds[t]
@@ -378,21 +393,27 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                         def _(mi=mi, m=m, t=t, ch=ch):
                             c0 = t * wb
                             coef = ch * cvs_ref[mi, :, c0:c0 + wb]
-                            tap = rolled_ref[:, band_lead + m:
-                                             band_lead + m + row_block,
-                                             c0:c0 + wb]
+                            if do_tap:
+                                tap = rolled_ref[:, band_lead + m:
+                                                 band_lead + m
+                                                 + row_block,
+                                                 c0:c0 + wb]
+                                upd = (coef[None] * tap)
+                            else:
+                                upd = jnp.broadcast_to(
+                                    coef[None], (4, row_block, wb))
                             acc_ref[:, :, c0:c0 + wb] = (
                                 acc_ref[:, :, c0:c0 + wb]
-                                + (coef[None] * tap).astype(
-                                    acc_ref.dtype))
+                                + upd.astype(acc_ref.dtype))
 
         rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
                                         :].astype(jnp.float32)
 
         def k_up(i, _):
             rungs(i)
-            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
-                                             width - 1, axis=2)
+            if do_rolls:
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
+                                                 width - 1, axis=2)
             return 0
 
         jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
@@ -403,8 +424,9 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                                             :].astype(jnp.float32)
 
         def k_down(i, _):
-            rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 1,
-                                             axis=2)
+            if do_rolls:
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 1,
+                                                 axis=2)
             rungs(-1 - i)
             return 0
 
@@ -1006,11 +1028,13 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
-                                             "kv_max", "wb", "interpret"))
+                                             "kv_max", "wb", "interpret",
+                                             "parts"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
-                          interpret: bool = False) -> Array:
+                          interpret: bool = False,
+                          parts: str = "all") -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1061,7 +1085,8 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
     else:
         kern = functools.partial(_render_kernel_tiled, h_mid=hm, width=w,
                                  wb=wb, cap=cap, row_block=row_block,
-                                 kh_max=kh_max, kv_max=kv_max)
+                                 kh_max=kh_max, kv_max=kv_max,
+                                 parts=parts)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1215,7 +1240,7 @@ FTB_EPS = 1e-6
 # The complete set of keys perf_flags.json may carry. Anything else is
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
-PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb"})
+PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2"})
 
 
 def _read_perf_flags(path=None):

@@ -93,6 +93,12 @@ def test_planar_mode_matches_row_major():
                                   NOUT, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    # Double-buffered planar x window (perf_flags "net_x2"): pure
+    # buffering change, must stay bit-identical to the single slot.
+    got2 = pallas_net.unet_forward((xpad[:pc], xpad[pc:]), ops, NGF,
+                                   NOUT, interpret=True, x_slots=2)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
+
 
 def test_planar_sweep_pad_matches_prepared():
     """ods_sweep_identity_planar's padded volumes: pad bands are zero

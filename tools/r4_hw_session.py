@@ -99,6 +99,75 @@ def train_throughput():
               f"(loss={float(metrics['total_loss']):.4f})", flush=True)
 
 
+def net_x2_ab():
+    """Planar net kernel: single-slot vs double-buffered conv1_1 x
+    window (profile r4: net_planar 4.73 ms vs row-major-x 4.30 ms —
+    the planar window is the only non-double-buffered DMA). Arms
+    perf_flags 'net_x2' when the 2-slot build wins >2% and matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.ops import pallas_net
+    from matryodshka_tpu.training import state as state_lib
+    from tools.r3_hw_session import _arm_flag
+
+    CHAIN = 20
+    h, w = 320, 640
+    cfg = MatryConfig(height=h, width=w, num_psv_planes=32,
+                      num_msi_planes=32, ngf=64, batch_size=1,
+                      compute_dtype="bfloat16").validate()
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    net_ops, ngf, k, flipped, variant = msi_lib.fused_net_ops(
+        model, state.params, cfg)
+    pad = pallas_net.X_ROW_PAD
+    pc = cfg.num_psv_planes * 3
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(pc, h + 2 * pad, w).astype(np.float32),
+                     cfg.jnp_compute_dtype)
+    x1 = jnp.asarray(rng.rand(pc, h + 2 * pad, w).astype(np.float32),
+                     cfg.jnp_compute_dtype)
+
+    res, outs = {}, {}
+    for slots in (1, 2):
+        @jax.jit
+        def chain(a, b, slots=slots):
+            def body(_, xs):
+                aa, bb = xs
+                y = pallas_net.unet_forward((aa, bb), net_ops, ngf, k,
+                                            flipped=flipped,
+                                            variant=variant,
+                                            x_slots=slots)
+                dep = (y.astype(jnp.float32).mean() * 1e-6).astype(
+                    aa.dtype)
+                return (aa * 0.999 + dep, bb)
+            return jax.lax.fori_loop(0, CHAIN, body, (a, b))
+        try:
+            for _ in range(2):
+                jax.block_until_ready(chain(x0, x1))
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(3):
+                out = chain(x0, x1)
+            jax.block_until_ready(out)
+            res[slots] = (time.perf_counter() - t0) / (3 * CHAIN) * 1e3
+            outs[slots] = jax.jit(
+                lambda a, b, s=slots: pallas_net.unet_forward(
+                    (a, b), net_ops, ngf, k, flipped=flipped,
+                    variant=variant, x_slots=s))(x0, x1)
+            print(f"[net_x2] x_slots={slots}: {res[slots]:.2f} ms",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[net_x2] x_slots={slots}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+    if 1 in res and 2 in res:
+        err = float(jnp.max(jnp.abs(outs[1] - outs[2])))
+        win = res[2] < 0.98 * res[1]
+        print(f"[net_x2] exactness {err:.2e}; win={win}", flush=True)
+        _arm_flag("net_x2", bool(win and err == 0.0))
+
+
 def coordnet_net():
     """The CoordNet whole-net kernel (the released checkpoints'
     variant) vs the wrap variant, chained, production shape."""
@@ -196,9 +265,16 @@ def hres_fps():
               flush=True)
 
 
+def ladder_parts():
+    from tools import exp_ladder_parts
+    exp_ladder_parts.main()
+
+
 PHASES = {
-    "train": train_throughput,
+    "net_x2": net_x2_ab,
+    "ladder_parts": ladder_parts,
     "coordnet": coordnet_net,
+    "train": train_throughput,
     "hres": hres_fps,
 }
 
