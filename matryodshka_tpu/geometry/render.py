@@ -253,12 +253,36 @@ def render_equirect_view_prepared(prepared: Array, cap_top: Array,
             return jnp.concatenate([top, mid, bot], axis=0)
 
         def gather_hres(prepared, cap_top, cap_bot, uv):
+            # Sequential per-plane composite: the all-planes-at-once
+            # gather held 32 full-res f32 [H, W, 4] temps live and
+            # OOM'd HBM at 4096x2048 (measured r4: XLA allocates the
+            # UNTAKEN cond branch's temps too, so this bounded the
+            # whole hres render). lax.scan keeps one plane live:
+            # out += rgb_i * a_i * T, T *= (1 - a_i), nearest-first;
+            # plane 0 (farthest) composites with alpha treated as 1,
+            # matching over_composite (projector.py:246-265).
             pad = (hpad - h) // 2
-            interior = prepared[:, :, pad:pad + h, :].astype(jnp.float32)
-            layers = jnp.transpose(jnp.flip(interior, axis=3),
-                                   (2, 3, 0, 1))
-            proj = _gather_layers(layers, uv)
-            return over_composite(jnp.moveaxis(proj, 0, 2))
+
+            def sample_one(lay_p, uv_p):
+                interior = lay_p[:, pad:pad + h, :].astype(jnp.float32)
+                img = jnp.transpose(jnp.flip(interior, axis=2),
+                                    (1, 2, 0))          # [h, w, 4]
+                return resample_layers(img[None], uv_p[None])[0]
+
+            def body(carry, xs):
+                out, trans = carry
+                lay_p, uv_p = xs
+                img = sample_one(lay_p, uv_p)
+                a = img[..., 3:]
+                out = out + img[..., :3] * a * trans
+                return (out, trans * (1.0 - a)), None
+
+            out0 = jnp.zeros((h, w, 3), jnp.float32)
+            t0 = jnp.ones((h, w, 1), jnp.float32)
+            (out, trans), _ = jax.lax.scan(
+                body, (out0, t0), (prepared[1:], uv[1:]), reverse=True)
+            img0 = sample_one(prepared[0], uv[0])
+            return out + img0[..., :3] * trans
 
         return jax.lax.cond(ok, fused_hres, gather_hres,
                             prepared, cap_top, cap_bot, uv)

@@ -661,11 +661,11 @@ def _build_kernel(h: int, w: int, ngf: int, cin0: int, num_outputs: int,
             output row `ro` (traced): full-row term minus the edge
             columns' missing-tap corrections (SAME zero pad). kcx:
             [cout, 9] = [dy-sums | left col | right col]; cvec_ref:
-            SMEM [his + 4, 1], 2 zero pad rows each side."""
+            SMEM [1, his + 4], 2 zero pad entries each side."""
             terms = [None, None, None]
             for dy in range(3):
                 ri = stride * ro + (dy - 1) * rate + voff
-                cv = cvec_ref[ri + 2, 0]
+                cv = cvec_ref[0, ri + 2]
                 for ti in range(3):
                     t = kcx[:, 3 * ti + dy:3 * ti + dy + 1] * cv
                     terms[ti] = t if terms[ti] is None else terms[ti] + t
@@ -1333,8 +1333,13 @@ def coord_operands(h: int, ngf: int, cin0: int,
             continue
         his = h // ind
         lat = np.linspace(-np.pi / 2, np.pi / 2, his)
-        vec = np.zeros((his + 4, 1), np.float32)
-        vec[2:2 + his, 0] = np.abs(np.sin(lat)).astype(np.float32)
+        # ROW vector [1, his + 4]: SMEM windows are padded per ROW
+        # (measured 512 B/row on v5e), so a column vector costs
+        # rows*512 B — the 14 stage vectors at 640x320 totalled 1.02 MB
+        # and blew the 1 MB SMEM budget at compile time. One row each
+        # keeps the whole set ~7 KB.
+        vec = np.zeros((1, his + 4), np.float32)
+        vec[0, 2:2 + his] = np.abs(np.sin(lat)).astype(np.float32)
         out.append(jnp.asarray(vec))
     return out
 

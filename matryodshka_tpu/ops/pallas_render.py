@@ -294,11 +294,11 @@ def _unpack2(t):
 
 def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          u_ref, v_ref, out_ref, rolled_ref, cvs_ref,
-                         acc_ref, *,
+                         acc_ref, vtap_ref, *,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None,
-                         parts: str = "all"):
+                         parts: str = "all", vtap: bool = False):
     """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
     _render_kernel -- wide rolls are the efficient form, measured 1.78
     cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
@@ -323,6 +323,17 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
       "rollsonly" — rungs()/cvs removed: band copy + rolls + composite
       "nofma"     — coefficients built and accumulated, tap read+mult
                     skipped (acc += coef): all-nofma = tap FMA cost
+
+    `vtap` (perf_flags "vtap", hardware A/B'd): per k-rung, vertically
+    pre-blend the rolled band ONCE into vtap_ref (static m levels gated
+    by the BLOCK-GLOBAL m range), then each active tile does a single
+    ch-weighted FMA. Motivation: the r4 parts split put the per-(k, t)
+    coefficient build + the 20-level per-tile m branch cascade at
+    2.06 ms of the 4.75 ms bench-pose total vs 0.24 ms of tap FMA —
+    branch machinery dominates, so trade a slightly wider m range
+    (global vs per-tile) for ~nt x fewer predicated regions. Not
+    bit-identical to the per-tile form (FP association: ch*(sum cvs*t)
+    vs sum (ch*cvs)*t) but inside the gather-parity tolerance.
     """
     do_rolls = parts in ("all", "rollsonly", "nofma")
     do_rungs = parts != "rollsonly"
@@ -378,6 +389,36 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
             if not do_rungs:
                 return
             kf = k.astype(jnp.float32)
+            if vtap:
+                @pl.when((k >= gklo - 1) & (k <= gkhi))
+                def _():
+                    vtap_ref[:, :, :] = jnp.zeros(
+                        (4, row_block, width), vtap_ref.dtype)
+                    for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                        @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                        def _(mi=mi, m=m):
+                            vtap_ref[:, :, :] = (
+                                vtap_ref[:, :, :]
+                                + cvs_ref[mi, :, :][None]
+                                * rolled_ref[:, band_lead + m:
+                                             band_lead + m + row_block,
+                                             :])
+                    for t in range(nt):
+                        (tklo, tkhi), _tm = bounds[t]
+
+                        @pl.when((k >= tklo - 1) & (k <= tkhi))
+                        def _(t=t):
+                            c0 = t * wb
+                            ch = ((1.0 - fx[:, c0:c0 + wb])
+                                  * (dk[:, c0:c0 + wb] == kf)
+                                  + fx[:, c0:c0 + wb]
+                                  * (dk[:, c0:c0 + wb] == kf + 1.0))
+                            acc_ref[:, :, c0:c0 + wb] = (
+                                acc_ref[:, :, c0:c0 + wb]
+                                + (ch[None]
+                                   * vtap_ref[:, :, c0:c0 + wb]
+                                   ).astype(acc_ref.dtype))
+                return
             for t in range(nt):
                 (tklo, tkhi), (tmlo, tmhi) = bounds[t]
 
@@ -619,10 +660,12 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
 def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                         u_ref, v_ref, out_ref,
                         fgb_ref, bgb_ref, blb_ref, alb_ref, bandf_ref,
-                        rolled_ref, cvs_ref, acc_ref, t_ref, sems, *,
+                        rolled_ref, cvs_ref, acc_ref, t_ref, vtap_ref,
+                        sems, *,
                         width: int, wb: int, cap: int, row_block: int,
                         kh_max: int, kv_max: int, planes: int,
-                        eps: float, vpad: int, depth: bool = False):
+                        eps: float, vpad: int, depth: bool = False,
+                        vtap: bool = False):
     """FTB ladder with the ASSEMBLE BLEND fused in (blend_psv scheme).
 
     depth=True renders the depth proxy instead: rgb is the constant
@@ -768,6 +811,42 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
 
             def rungs(k):
                 kf = k.astype(jnp.float32)
+                if vtap:
+                    # perf_flags "vtap": vertical pre-blend once per
+                    # rung, then ONE ch-weighted FMA per active tile
+                    # (see _render_kernel_tiled docstring).
+                    @pl.when((k >= gklo - 1) & (k <= gkhi))
+                    def _():
+                        vtap_ref[:, :, :] = jnp.zeros(
+                            (4, row_block, width), vtap_ref.dtype)
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                            def _(mi=mi, m=m):
+                                vtap_ref[:, :, :] = (
+                                    vtap_ref[:, :, :]
+                                    + cvs_ref[mi, :, :][None]
+                                    * rolled_ref[
+                                        :, band_lead + m:
+                                        band_lead + m + row_block, :])
+                        for t in range(nt):
+                            (tklo, tkhi), _tm = bounds[t]
+
+                            @pl.when((k >= tklo - 1) & (k <= tkhi)
+                                     & talive[t])
+                            def _(t=t):
+                                c0 = t * wbw
+                                ch = ((1.0 - fx[:, c0:c0 + wbw])
+                                      * (dk[:, c0:c0 + wbw] == kf)
+                                      + fx[:, c0:c0 + wbw]
+                                      * (dk[:, c0:c0 + wbw]
+                                         == kf + 1.0))
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + (ch[None]
+                                       * vtap_ref[:, :, c0:c0 + wbw]
+                                       ).astype(acc_ref.dtype))
+                    return
                 for t in range(nt):
                     (tklo, tkhi), (tmlo, tmhi) = bounds[t]
 
@@ -842,13 +921,14 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "eps",
                                              "vpad", "depth",
-                                             "interpret"))
+                                             "interpret", "vtap"))
 def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             u: Array, v: Array, cap: int,
                             row_block: int, kh_max: int, kv_max: int,
                             wb: int = None, eps: float = 1e-6,
                             vpad: int = 0, depth: bool = False,
-                            interpret: bool = False) -> Array:
+                            interpret: bool = False,
+                            vtap: bool = None) -> Array:
     """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
     flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
     flipped row-major net output (blend_psv layout: blend ch p, alpha
@@ -900,14 +980,16 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
             pltpu.VMEM((mv, row_block, w), jnp.float32),
             pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.VMEM((row_block, w), jnp.float32),
+            pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
+    vtap = bool(vtap)   # None == False; wrappers resolve DEFAULT_VTAP
     out = pl.pallas_call(
         functools.partial(_render_kernel_ftbb, width=w, wb=wb, cap=cap,
                           row_block=row_block, kh_max=kh_max,
                           kv_max=kv_max, planes=p, eps=eps, vpad=vpad,
-                          depth=depth),
+                          depth=depth, vtap=vtap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -940,7 +1022,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
                            row_block: int = ROW_BLOCK,
                            kh_max: int = None, kv_max: int = None,
                            wb="auto", depth: bool = False,
-                           interpret: bool = False) -> Array:
+                           interpret: bool = False,
+                           vtap: bool = None) -> Array:
     """Blend-fused FTB mid render from the sweep kernel's planar
     volumes + the net's flipped row-major prediction (blend_psv).
     fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
@@ -957,7 +1040,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
         u[:, cap:h - cap].astype(jnp.float32),
         v[:, cap:h - cap].astype(jnp.float32),
         cap, row_block, kh_max, kv_max, wb=wb, eps=FTB_EPS,
-        vpad=vpad, depth=depth, interpret=interpret)
+        vpad=vpad, depth=depth, interpret=interpret,
+        vtap=DEFAULT_VTAP if vtap is None else vtap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1029,12 +1113,13 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret",
-                                             "parts"))
+                                             "parts", "vtap"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
                           interpret: bool = False,
-                          parts: str = "all") -> Array:
+                          parts: str = "all",
+                          vtap: bool = None) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1076,8 +1161,15 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
             # converts made the kernel NET SLOWER (54.7 -> 52.0 fps
             # e2e) — and costs the bit-close-to-gather guarantee.
             pltpu.VMEM((4, row_block, w), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((4, row_block, w), jnp.float32)]
+             if wb is not None else []),
     )
+    # None == False here (NOT DEFAULT_VTAP: this function is jitted on
+    # static vtap, so a module-global read would bake the import-time
+    # value into the trace cache); the non-jitted wrappers
+    # (render_mid_prepared_cf / render_mid_fused_blend) resolve the
+    # armed default.
+    vtap = bool(vtap)
     if wb is None:
         kern = functools.partial(_render_kernel, h_mid=hm, width=w,
                                  cap=cap, row_block=row_block,
@@ -1086,7 +1178,7 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
         kern = functools.partial(_render_kernel_tiled, h_mid=hm, width=w,
                                  wb=wb, cap=cap, row_block=row_block,
                                  kh_max=kh_max, kv_max=kv_max,
-                                 parts=parts)
+                                 parts=parts, vtap=vtap)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1240,7 +1332,7 @@ FTB_EPS = 1e-6
 # The complete set of keys perf_flags.json may carry. Anything else is
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
-PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2"})
+PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap"})
 
 
 def _read_perf_flags(path=None):
@@ -1289,6 +1381,10 @@ def _read_perf_flags(path=None):
 _PERF_FLAGS, PERF_FLAGS_PATH = _read_perf_flags()
 DEFAULT_FTB = bool(_PERF_FLAGS.get("ftb", False))
 DEFAULT_FTBB = bool(_PERF_FLAGS.get("ftbb", False))
+# Vertical pre-blend rung form for the tiled + blend-fused ladders
+# (r4 parts split: coefficient/branch machinery 2.06 ms of 4.75 vs
+# 0.24 ms tap FMA). Armed by the hardware A/B in tools/r4_hw_session.
+DEFAULT_VTAP = bool(_PERF_FLAGS.get("vtap", False))
 
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
@@ -1318,7 +1414,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
                            row_block: int = ROW_BLOCK,
                            kh_max: int = None, kv_max: int = None,
                            wb="auto", ftb=None,
-                           interpret: bool = False) -> Array:
+                           interpret: bool = False,
+                           vtap: bool = None) -> Array:
     """Channel-first twin of render_mid_prepared: u, v each [P, H, W]
     (full height; mid rows are sliced here). Passes u and v as separate
     kernel operands — stacking them into a [P, 2, Hm, W] field costs a
@@ -1333,7 +1430,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
         wb = default_wb(w)
     ftb = DEFAULT_FTB if ftb is None else ftb
     fn = _ladder_render_mid_ftb if ftb else _ladder_render_mid_uv
-    kw = {"eps": FTB_EPS} if ftb else {}
+    kw = ({"eps": FTB_EPS} if ftb
+          else {"vtap": DEFAULT_VTAP if vtap is None else vtap})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

@@ -153,6 +153,13 @@ def test_column_tiled_mid_matches_fullwidth(pos):
                                            wb=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-5)
+    # vtap rung form (perf_flags "vtap"): vertical pre-blend per rung;
+    # FP association differs, gather-parity tolerance holds.
+    got_v = pallas_render._ladder_render_mid_uv(
+        lay, uvm[:, 0], uvm[:, 1], cap, rb, kh, kv, wb=128,
+        interpret=True, vtap=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref),
+                               rtol=0, atol=1e-5)
 
 
 @pytest.mark.parametrize("wb", [None, 128])

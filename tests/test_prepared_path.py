@@ -97,6 +97,35 @@ def test_prepared_pipeline_rotation_fallback():
                                rtol=0, atol=2e-5)
 
 
+def test_chunked_rotation_fallback_matches_gather():
+    """The high-res (chunk_rows) flow's out-of-contract branch: now a
+    constant-memory per-plane lax.scan (the all-planes gather OOM'd
+    HBM at 4096x2048 on hardware, r4) — must still match the batch
+    gather render."""
+    cfg = _cfg()
+    rng = np.random.RandomState(11)
+    batch = _batch(rng)
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    apply_fn = _fake_net(cfg)
+    outs = msi_lib.infer_msi_prepared(apply_fn, None, cfg, batch, depths,
+                                      interpret=True)
+    ang = 0.5
+    rot = jnp.asarray([[1, 0, 0, 0],
+                       [0, np.cos(ang), -np.sin(ang), 0],
+                       [0, np.sin(ang), np.cos(ang), 0],
+                       [0, 0, 0, 1]], dtype=jnp.float32)[None]
+    tgt_pos = jnp.asarray([[0.01, 0.0, 0.0]])
+    img = msi_lib.render_equirect_view_from_prepared(
+        outs, rot, tgt_pos, depths, cfg.height, chunk_rows=32,
+        interpret=True)
+    std = msi_lib.assemble_rgba("blend_psv", outs["msi_pred"],
+                                outs["net_input"], P)
+    ref = msi_lib.render_equirect_view(std["rgba_layers"], rot, tgt_pos,
+                                       depths)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
 def test_prepared_pipeline_with_fused_net():
     """Full fused inference: sweep kernel -> whole-net Pallas kernel ->
     prepared assemble -> ladder render, vs the flax net + standard
@@ -230,6 +259,23 @@ def test_blend_fused_pipeline_matches_prepared():
         o_fb, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
         cfg.height, interpret=True)
     np.testing.assert_allclose(np.asarray(db), np.asarray(da),
+                               rtol=0, atol=2e-5)
+
+    # vtap rung form of the blend-fused kernel (perf_flags "vtap"):
+    # same pipeline with the flag forced on must match too.
+    from matryodshka_tpu.ops import pallas_render as pr
+    old = pr.DEFAULT_VTAP
+    pr.DEFAULT_VTAP = True
+    try:
+        bv = msi_lib.render_equirect_view_from_prepared(
+            o_fb, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
+            cfg.height, interpret=True)
+    finally:
+        pr.DEFAULT_VTAP = old
+    a0 = msi_lib.render_equirect_view_from_prepared(
+        o_ref, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
+        cfg.height, interpret=True)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(a0),
                                rtol=0, atol=2e-5)
 
 
