@@ -22,11 +22,15 @@ from matryodshka_tpu.training.step import make_loss_fn
 
 def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
                        mesh: Mesh,
-                       elpips_fn: Optional[Callable] = None) -> Callable:
+                       elpips_fn: Optional[Callable] = None,
+                       donate: bool = True) -> Callable:
     """Jitted data-parallel train_step(state, batch, rng).
 
     The global batch (cfg.batch_size) must be divisible by the 'data' axis
     size; each device computes its shard's loss and GSPMD reduces grads.
+    `donate` aliases the incoming TrainState buffers into the outputs
+    (callers must not reuse the old state), halving param+opt HBM traffic
+    exactly like the single-device step (training/step.py).
     """
     loss_fn = make_loss_fn(cfg, model_apply, elpips_fn)
     repl = NamedSharding(mesh, P())
@@ -47,6 +51,7 @@ def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
         train_step,
         in_shardings=(repl, batched, repl),
         out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
     )
 
 

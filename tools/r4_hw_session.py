@@ -85,18 +85,28 @@ def train_throughput():
         state, metrics = step_fn(state, batch, key)
         jax.block_until_ready(metrics["total_loss"])
         compile_s = time.time() - t0
-        n = 10
-        t0 = time.perf_counter()
-        for _ in range(n):
-            key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, batch, sub)
-        jax.block_until_ready(metrics["total_loss"])
-        ms = (time.perf_counter() - t0) / n * 1000.0
-        hours_140k = ms / 1000.0 * 140_000 / 3600.0
-        print(f"[train] loss={loss}: {ms:.1f} ms/step "
-              f"({1000.0 / ms:.2f} steps/s), compile {compile_s:.0f}s, "
-              f"140k steps = {hours_140k:.1f} h "
-              f"(loss={float(metrics['total_loss']):.4f})", flush=True)
+        # NOTE: do NOT feed keys sliced from a pre-split [n,2] array —
+        # train_probe2 measured that pattern at 4197 ms/step vs 144 for
+        # per-iter host split (the r4b 4166/53479 numbers were that
+        # artifact, not the step). Measure the production loop's
+        # fold_in pattern (loop.py:90) AND the per-iter split.
+        n = 10 if loss == "pixel" else 6
+        for kname in ("foldin", "hostsplit"):
+            k = key
+            t0 = time.perf_counter()
+            for i in range(n):
+                if kname == "foldin":
+                    sub = jax.random.fold_in(key, i)
+                else:
+                    k, sub = jax.random.split(k)
+                state, metrics = step_fn(state, batch, sub)
+            jax.block_until_ready(metrics["total_loss"])
+            ms = (time.perf_counter() - t0) / n * 1000.0
+            hours_140k = ms / 1000.0 * 140_000 / 3600.0
+            print(f"[train] loss={loss}/{kname}: {ms:.1f} ms/step "
+                  f"({1000.0 / ms:.2f} steps/s), compile {compile_s:.0f}s, "
+                  f"140k steps = {hours_140k:.1f} h "
+                  f"(loss={float(metrics['total_loss']):.4f})", flush=True)
 
 
 def net_x2_ab():
@@ -270,9 +280,137 @@ def ladder_parts():
     exp_ladder_parts.main()
 
 
+def vtap_ab():
+    """vtap rung form (vertical pre-blend once per rung, one FMA per
+    active tile) vs the per-tile (k, m) branch cascade — on the tiled
+    prepared kernel AND the production blend-fused kernel. Arms
+    perf_flags 'vtap' when both win and match."""
+    import jax
+    import jax.numpy as jnp
+
+    from matryodshka_tpu.geometry import intersect
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.ops import pallas_render as pr
+    from tools.r3_hw_session import _arm_flag
+
+    H, W, P = 320, 640, 32
+    CAP, RB = pr.CAP_ROWS, pr.ROW_BLOCK
+    rng = np.random.RandomState(0)
+    radii = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    pose = jnp.eye(4)
+    kh, kv = pr.default_bounds(H, W, CAP)
+    wb = pr.default_wb(W)
+    CHAIN = 20
+
+    rgba = np.asarray(rng.rand(H, W, P, 4), np.float32)
+    wins, matches = [], []
+
+    def timeit(fn, *args, iters=3, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
+
+    # --- tiled prepared kernel ---
+    for tname, tgt in (("bench", jnp.asarray([0.05, 0.0, 0.0])),
+                       ("diag", jnp.asarray([0.05, 0.05, 0.05]))):
+        u, v = intersect.intersect_sphere_uv(pose, tgt, radii, W, H)
+        um = jax.block_until_ready(u[:, CAP:H - CAP].astype(jnp.float32))
+        vm = jax.block_until_ready(v[:, CAP:H - CAP].astype(jnp.float32))
+        layers = jax.block_until_ready(pr.prepare_layers(
+            jnp.asarray(rgba), CAP, RB, kv, jnp.bfloat16))
+
+        res, outs = {}, {}
+        for vt in (False, True):
+            @jax.jit
+            def chain(lay, vt=vt):
+                def body(_, l):
+                    o = pr._ladder_render_mid_uv(
+                        l, um, vm, CAP, RB, kh, kv, wb=wb, vtap=vt)
+                    return l + o.mean().astype(l.dtype) * 1e-6
+                return jax.lax.fori_loop(0, CHAIN, body, lay)
+            try:
+                res[vt] = timeit(chain, layers)
+                outs[vt] = jax.jit(
+                    lambda l, vt=vt: pr._ladder_render_mid_uv(
+                        l, um, vm, CAP, RB, kh, kv, wb=wb,
+                        vtap=vt))(layers)
+                print(f"[vtap] tiled/{tname} vtap={vt}: "
+                      f"{res[vt]:.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[vtap] tiled/{tname} vtap={vt}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+        if False in res and True in res:
+            err = float(jnp.max(jnp.abs(outs[False] - outs[True])))
+            wins.append(res[True] < res[False])
+            matches.append(err < 1e-4)
+            print(f"[vtap] tiled/{tname}: err {err:.2e}", flush=True)
+
+    # --- production blend-fused e2e (bench operands) ---
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.training import state as state_lib
+    from tools.r4_hw_session import _ods_batch
+
+    cfg = MatryConfig(height=H, width=W, num_psv_planes=P,
+                      num_msi_planes=P, ngf=64, batch_size=1,
+                      compute_dtype="bfloat16").validate()
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    batch = _ods_batch(cfg)
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    fused = msi_lib.fused_net_ops(model, state.params, cfg)
+
+    res, outs = {}, {}
+    for vt in (False, True):
+        pr.DEFAULT_VTAP = vt    # resolved in the non-jitted wrappers
+
+        def e2e(params, batch):
+            o = msi_lib.infer_msi_prepared(
+                lambda p_, x: model.apply(p_, x), params, cfg, batch,
+                psv_depths, fused_net=fused, blend_fused=True)
+            eye = jnp.tile(jnp.eye(4)[None],
+                           (o["msi_pred"].shape[0], 1, 1))
+            return msi_lib.render_equirect_view_from_prepared(
+                o, eye, batch["tgt_pose"], psv_depths, cfg.height)
+
+        @jax.jit
+        def chain(params, batch):
+            def body(_, ref):
+                b2 = dict(batch)
+                b2["ref_image"] = ref
+                return jnp.clip(e2e(params, b2), 0.0, 1.0)
+            return jax.lax.fori_loop(0, CHAIN, body,
+                                     batch["ref_image"])
+        try:
+            res[vt] = timeit(chain, state.params, batch)
+            outs[vt] = jax.jit(e2e)(state.params, batch)
+            print(f"[vtap] ftbb-e2e vtap={vt}: {res[vt]:.2f} ms "
+                  f"({1000.0 / res[vt]:.1f} fps)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[vtap] ftbb-e2e vtap={vt}: FAIL "
+                  f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+    pr.DEFAULT_VTAP = bool(pr._PERF_FLAGS.get("vtap", False))
+    if False in res and True in res:
+        err = float(jnp.max(jnp.abs(outs[False] - outs[True])))
+        wins.append(res[True] < res[False])
+        matches.append(err < 2e-3)
+        print(f"[vtap] ftbb-e2e: err {err:.2e}", flush=True)
+        arm = bool(all(matches) and wins.count(True) >= 2
+                   and wins[-1])     # e2e must win, >=2 of 3 overall
+        print(f"[vtap] wins={wins} matches={matches} -> arm={arm}",
+              flush=True)
+        _arm_flag("vtap", arm)
+
+
 PHASES = {
     "net_x2": net_x2_ab,
     "ladder_parts": ladder_parts,
+    "vtap": vtap_ab,
     "coordnet": coordnet_net,
     "train": train_throughput,
     "hres": hres_fps,
