@@ -320,11 +320,51 @@ def main():
     ms_e2e = timeit(e2e_chain, state.params, batch, chain=CHAIN)
 
     print(stage_msg + f" | e2e={ms_e2e:.2f} ms", file=sys.stderr)
+    from matryodshka_tpu.ops import pallas_net as _pn
     print(f"[bench] flags: ftb={_pr.DEFAULT_FTB} ftbb={_pr.DEFAULT_FTBB} "
+          f"vtap={_pr.DEFAULT_VTAP} net_x2={_pn._default_net_x2()} "
           f"wb={_pr.default_wb(cfg.width)} "
           f"net={'fused-' + fused_net[4] if fused_net else 'xla'} "
           f"pipeline={'blend_fused' if _picked_bf else ('prepared' if use_prepared else 'round2')}",
           file=sys.stderr)
+
+    # Training throughput (VERDICT r3 item 3): the jitted DP train step
+    # at the production shape, pixel loss, fed keys the way the real
+    # loop does (fold_in; loop.py:90). Compile is amortized by the
+    # persistent cache; any failure must not cost the bench metric.
+    import os as _os
+    if _os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            from matryodshka_tpu.parallel import dp as _dp
+            from matryodshka_tpu.parallel import mesh as _mesh_lib
+            from matryodshka_tpu.training import state as _state_lib
+            tcfg = cfg.replace(which_loss="pixel", coord_net=True)
+            tmesh = _mesh_lib.make_mesh(data=1)
+            tstate, tmodel = _state_lib.init_state(
+                tcfg, jax.random.PRNGKey(0))
+            tstep = _dp.make_dp_train_step(
+                tcfg, tmodel.apply, _state_lib.build_optimizer(tcfg),
+                tmesh)
+            tbatch = _dp.shard_batch(
+                {k: np.asarray(v) for k, v in batch.items()}, tmesh)
+            tkey = jax.random.PRNGKey(1)
+            tstate, tm = tstep(tstate, tbatch, tkey)   # compile
+            jax.block_until_ready(tm["total_loss"])
+            n = 5
+            t0 = time.perf_counter()
+            for i in range(n):
+                tstate, tm = tstep(tstate, tbatch,
+                                   jax.random.fold_in(tkey, i))
+            jax.block_until_ready(tm["total_loss"])
+            tms = (time.perf_counter() - t0) / n * 1000.0
+            print(f"[bench] train step (DP, pixel, b{tcfg.batch_size}): "
+                  f"{tms:.1f} ms/step ({1000.0 / tms:.2f} steps/s; "
+                  f"140k steps = {tms * 140_000 / 3.6e6:.1f} h)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — never cost the metric
+            print(f"[bench] train-step timing unavailable "
+                  f"({type(e).__name__}: {str(e)[:160]})",
+                  file=sys.stderr)
 
     fps = 1000.0 / ms_e2e
     print(json.dumps({

@@ -1406,7 +1406,13 @@ def unet_forward(x_row_major: Array, params_ops: List[Array], ngf: int,
     XLA layout pass."""
     if isinstance(x_row_major, (tuple, list)):
         if x_slots is None:
-            x_slots = 2 if _default_net_x2() else 1
+            # net_x2 was measured (and fits) on the WRAP variant; the
+            # coord build's extra scratch puts the 2-slot window 752 KB
+            # over Mosaic's 127 MiB scoped-VMEM budget at 640x320x32
+            # (measured OOM, tools/r4_hw_session coordnet phase) — keep
+            # coord single-slot regardless of the armed flag.
+            x_slots = (2 if _default_net_x2() and variant != "coord"
+                       else 1)
         x0, x1 = x_row_major
         pc, hp, w = x0.shape
         assert x1.shape == x0.shape, (x0.shape, x1.shape)

@@ -448,7 +448,7 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                                 + upd.astype(acc_ref.dtype))
 
         rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
-                                        :].astype(jnp.float32)
+                                        :].astype(rolled_ref.dtype)
 
         def k_up(i, _):
             rungs(i)
@@ -462,7 +462,7 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
         @pl.when(gklo - 1 < 0)
         def _():
             rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
-                                            :].astype(jnp.float32)
+                                            :].astype(rolled_ref.dtype)
 
         def k_down(i, _):
             if do_rolls:
@@ -760,15 +760,17 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
             alw = (alb_ref[slot, 0, :, :] + 1.0) * 0.5
             if depth:
                 val = p.astype(jnp.float32) / float(planes)
-                bandf_ref[0:3, :, :] = jnp.full(
-                    (3, band8, width), 0.0, jnp.float32) + val
+                bandf_ref[0:3, :, :] = (jnp.full(
+                    (3, band8, width), 0.0, jnp.float32) + val).astype(
+                        bandf_ref.dtype)
             else:
                 blw = (blb_ref[slot, 0, :, :] + 1.0) * 0.5  # [band8, W]
                 fg = fgb_ref[slot].astype(jnp.float32)
                 bg = bgb_ref[slot].astype(jnp.float32)
                 bandf_ref[0:3, :, :] = (blw[None] * fg
-                                        + (1.0 - blw[None]) * bg)
-            bandf_ref[3, :, :] = alw
+                                        + (1.0 - blw[None]) * bg
+                                        ).astype(bandf_ref.dtype)
+            bandf_ref[3, :, :] = alw.astype(bandf_ref.dtype)
 
             u = u_ref[p, :, :]
             v = v_ref[p, :, :]
@@ -921,14 +923,16 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "eps",
                                              "vpad", "depth",
-                                             "interpret", "vtap"))
+                                             "interpret", "vtap",
+                                             "roll16"))
 def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             u: Array, v: Array, cap: int,
                             row_block: int, kh_max: int, kv_max: int,
                             wb: int = None, eps: float = 1e-6,
                             vpad: int = 0, depth: bool = False,
                             interpret: bool = False,
-                            vtap: bool = None) -> Array:
+                            vtap: bool = None,
+                            roll16: bool = None) -> Array:
     """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
     flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
     flipped row-major net output (blend_psv layout: blend ch p, alpha
@@ -975,8 +979,13 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
             pltpu.VMEM((2, 3, band8, w), bgP.dtype),
             pltpu.VMEM((2, 1, band8, w), jnp.float32),
             pltpu.VMEM((2, 1, band8, w), jnp.float32),
-            pltpu.VMEM((4, band8, w), jnp.float32),
-            pltpu.VMEM((4, band8, w), jnp.float32),
+            # roll16: blended band + roll chain in the sweep-volume
+            # storage dtype (the same bf16 rounding the prepared stack
+            # applies in HBM); f32 otherwise.
+            pltpu.VMEM((4, band8, w),
+                       fgP.dtype if roll16 else jnp.float32),
+            pltpu.VMEM((4, band8, w),
+                       fgP.dtype if roll16 else jnp.float32),
             pltpu.VMEM((mv, row_block, w), jnp.float32),
             pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.VMEM((row_block, w), jnp.float32),
@@ -984,7 +993,7 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
-    vtap = bool(vtap)   # None == False; wrappers resolve DEFAULT_VTAP
+    vtap = bool(vtap)   # None == False; wrappers resolve the defaults
     out = pl.pallas_call(
         functools.partial(_render_kernel_ftbb, width=w, wb=wb, cap=cap,
                           row_block=row_block, kh_max=kh_max,
@@ -1023,7 +1032,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
                            kh_max: int = None, kv_max: int = None,
                            wb="auto", depth: bool = False,
                            interpret: bool = False,
-                           vtap: bool = None) -> Array:
+                           vtap: bool = None,
+                           roll16: bool = None) -> Array:
     """Blend-fused FTB mid render from the sweep kernel's planar
     volumes + the net's flipped row-major prediction (blend_psv).
     fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
@@ -1041,7 +1051,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
         v[:, cap:h - cap].astype(jnp.float32),
         cap, row_block, kh_max, kv_max, wb=wb, eps=FTB_EPS,
         vpad=vpad, depth=depth, interpret=interpret,
-        vtap=DEFAULT_VTAP if vtap is None else vtap)
+        vtap=DEFAULT_VTAP if vtap is None else vtap,
+        roll16=DEFAULT_ROLL16 if roll16 is None else roll16)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1113,13 +1124,14 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret",
-                                             "parts", "vtap"))
+                                             "parts", "vtap", "roll16"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
                           interpret: bool = False,
                           parts: str = "all",
-                          vtap: bool = None) -> Array:
+                          vtap: bool = None,
+                          roll16: bool = None) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1154,7 +1166,11 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
         out_specs=pl.BlockSpec((3, hm, w), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, band, w), jnp.float32),
+            # roll16: the rolled band stays in the layer storage dtype
+            # (the bf16->f32 band upcast is deferred to the tap FMA).
+            pltpu.VMEM((4, band, w),
+                       layers_flipped_padded.dtype if roll16
+                       else jnp.float32),
             pltpu.VMEM((mv, row_block, w), jnp.float32),
             # f32 accumulator: a bf16 accumulator (tried) halves the
             # read-modify-write traffic but the per-FMA mixed-dtype
@@ -1164,11 +1180,11 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
         ] + ([pltpu.VMEM((4, row_block, w), jnp.float32)]
              if wb is not None else []),
     )
-    # None == False here (NOT DEFAULT_VTAP: this function is jitted on
-    # static vtap, so a module-global read would bake the import-time
-    # value into the trace cache); the non-jitted wrappers
+    # None == False here (NOT DEFAULT_VTAP/_ROLL16: this function is
+    # jitted on static flags, so a module-global read would bake the
+    # import-time value into the trace cache); the non-jitted wrappers
     # (render_mid_prepared_cf / render_mid_fused_blend) resolve the
-    # armed default.
+    # armed defaults.
     vtap = bool(vtap)
     if wb is None:
         kern = functools.partial(_render_kernel, h_mid=hm, width=w,
@@ -1332,7 +1348,7 @@ FTB_EPS = 1e-6
 # The complete set of keys perf_flags.json may carry. Anything else is
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
-PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap"})
+PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap", "roll16"})
 
 
 def _read_perf_flags(path=None):
@@ -1385,6 +1401,16 @@ DEFAULT_FTBB = bool(_PERF_FLAGS.get("ftbb", False))
 # (r4 parts split: coefficient/branch machinery 2.06 ms of 4.75 vs
 # 0.24 ms tap FMA). Armed by the hardware A/B in tools/r4_hw_session.
 DEFAULT_VTAP = bool(_PERF_FLAGS.get("vtap", False))
+# Keep the rolled band in the LAYER STORAGE dtype (bf16 on the hot
+# path) instead of upcasting to f32 at band load: the roll chain is the
+# ladder's largest cost (r4 parts split: 1.53 ms of 4.75 at the bench
+# pose) and scales with band bytes, while the tap FMA that pays the
+# bf16->f32 promote is only 0.24 ms. Bit-exact for the prepared stack
+# (its layers are already bf16; the promote is exact); for the
+# blend-fused kernel it rounds the blended band to bf16 — the same
+# rounding the prepared pipeline applies in HBM. Armed by the hardware
+# A/B (tools/r4_hw_session.py, "roll16").
+DEFAULT_ROLL16 = bool(_PERF_FLAGS.get("roll16", False))
 
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
@@ -1415,7 +1441,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
                            kh_max: int = None, kv_max: int = None,
                            wb="auto", ftb=None,
                            interpret: bool = False,
-                           vtap: bool = None) -> Array:
+                           vtap: bool = None,
+                           roll16: bool = None) -> Array:
     """Channel-first twin of render_mid_prepared: u, v each [P, H, W]
     (full height; mid rows are sliced here). Passes u and v as separate
     kernel operands — stacking them into a [P, 2, Hm, W] field costs a
@@ -1431,7 +1458,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     ftb = DEFAULT_FTB if ftb is None else ftb
     fn = _ladder_render_mid_ftb if ftb else _ladder_render_mid_uv
     kw = ({"eps": FTB_EPS} if ftb
-          else {"vtap": DEFAULT_VTAP if vtap is None else vtap})
+          else {"vtap": DEFAULT_VTAP if vtap is None else vtap,
+                "roll16": DEFAULT_ROLL16 if roll16 is None else roll16})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

@@ -162,6 +162,32 @@ def test_column_tiled_mid_matches_fullwidth(pos):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("pos", [[0.05, 0.0, 0.0], [0.0, 0.06, 0.0]])
+def test_roll16_band_is_bit_exact_on_bf16_layers(pos):
+    """roll16 (perf_flags): the rolled band stays bf16 instead of being
+    upcast to f32 at band load. On a bf16 layer stack the tap values are
+    identical (bf16->f32 is exact), so the output must be BIT-equal to
+    the f32-band kernel; on an f32 stack roll16 is a no-op by
+    construction (band dtype = layer dtype)."""
+    rng = np.random.RandomState(6)
+    layers = _layers(rng)
+    radii = _radii()
+    uv = intersect.intersect_sphere(jnp.eye(4), jnp.asarray(pos), radii,
+                                    W, H)
+    cap, rb, kh, kv = 8, 8, 14, 5
+    lay16 = pallas_render.prepare_layers(layers, cap, rb, kv,
+                                         dtype=jnp.bfloat16)
+    uvm = jnp.transpose(uv[:, cap:H - cap], (0, 3, 1, 2)).astype(
+        jnp.float32)
+    ref = pallas_render._ladder_render_mid_uv(
+        lay16, uvm[:, 0], uvm[:, 1], cap, rb, kh, kv, wb=128,
+        interpret=True)
+    got = pallas_render._ladder_render_mid_uv(
+        lay16, uvm[:, 0], uvm[:, 1], cap, rb, kh, kv, wb=128,
+        interpret=True, roll16=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("wb", [None, 128])
 def test_ftb_matches_plane_major(wb):
     """Front-to-back early-termination kernel vs the plane-major ladder:

@@ -262,21 +262,24 @@ def test_blend_fused_pipeline_matches_prepared():
                                rtol=0, atol=2e-5)
 
     # vtap rung form of the blend-fused kernel (perf_flags "vtap"):
-    # same pipeline with the flag forced on must match too.
+    # same pipeline with the flag forced on must match too. roll16
+    # (bf16 rolled band) likewise — with f32 test volumes it keeps the
+    # band f32, so it must match at the same tolerance.
     from matryodshka_tpu.ops import pallas_render as pr
-    old = pr.DEFAULT_VTAP
-    pr.DEFAULT_VTAP = True
-    try:
-        bv = msi_lib.render_equirect_view_from_prepared(
-            o_fb, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
-            cfg.height, interpret=True)
-    finally:
-        pr.DEFAULT_VTAP = old
     a0 = msi_lib.render_equirect_view_from_prepared(
         o_ref, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
         cfg.height, interpret=True)
-    np.testing.assert_allclose(np.asarray(bv), np.asarray(a0),
-                               rtol=0, atol=2e-5)
+    for flag in ("DEFAULT_VTAP", "DEFAULT_ROLL16"):
+        old = getattr(pr, flag)
+        setattr(pr, flag, True)
+        try:
+            bv = msi_lib.render_equirect_view_from_prepared(
+                o_fb, eye, jnp.asarray([[0.02, 0.01, -0.015]]), depths,
+                cfg.height, interpret=True)
+        finally:
+            setattr(pr, flag, old)
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(a0),
+                                   rtol=0, atol=2e-5, err_msg=flag)
 
 
 def test_coord_fused_pipeline_matches_flax():

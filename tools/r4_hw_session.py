@@ -407,10 +407,140 @@ def vtap_ab():
         _arm_flag("vtap", arm)
 
 
+def roll16_ab():
+    """roll16 (bf16 rolled band): the roll chain is the ladder's
+    largest cost (parts split: 1.53 ms of 4.75) and scales with band
+    bytes; bf16 halves them, the tap FMA pays an exact bf16->f32
+    promote. Bit-exact on the bf16 prepared stack. A/B on the tiled
+    prepared kernel (bench + diag poses) AND the production blend-fused
+    e2e; arms perf_flags 'roll16' when e2e wins and everything
+    matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from matryodshka_tpu.geometry import intersect
+    from matryodshka_tpu.geometry import sweep as sweep_lib
+    from matryodshka_tpu.ops import pallas_render as pr
+    from tools.r3_hw_session import _arm_flag
+
+    H, W, P = 320, 640, 32
+    CAP, RB = pr.CAP_ROWS, pr.ROW_BLOCK
+    rng = np.random.RandomState(0)
+    radii = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, P))
+    pose = jnp.eye(4)
+    kh, kv = pr.default_bounds(H, W, CAP)
+    wb = pr.default_wb(W)
+    CHAIN = 20
+
+    rgba = np.asarray(rng.rand(H, W, P, 4), np.float32)
+    wins, matches = [], []
+
+    def timeit(fn, *args, iters=3, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (iters * CHAIN) * 1000.0
+
+    for tname, tgt in (("bench", jnp.asarray([0.05, 0.0, 0.0])),
+                       ("diag", jnp.asarray([0.05, 0.05, 0.05]))):
+        u, v = intersect.intersect_sphere_uv(pose, tgt, radii, W, H)
+        um = jax.block_until_ready(u[:, CAP:H - CAP].astype(jnp.float32))
+        vm = jax.block_until_ready(v[:, CAP:H - CAP].astype(jnp.float32))
+        layers = jax.block_until_ready(pr.prepare_layers(
+            jnp.asarray(rgba), CAP, RB, kv, jnp.bfloat16))
+
+        res, outs = {}, {}
+        for r16 in (False, True):
+            @jax.jit
+            def chain(lay, r16=r16):
+                def body(_, l):
+                    o = pr._ladder_render_mid_uv(
+                        l, um, vm, CAP, RB, kh, kv, wb=wb, roll16=r16)
+                    return l + o.mean().astype(l.dtype) * 1e-6
+                return jax.lax.fori_loop(0, CHAIN, body, lay)
+            try:
+                res[r16] = timeit(chain, layers)
+                outs[r16] = jax.jit(
+                    lambda l, r16=r16: pr._ladder_render_mid_uv(
+                        l, um, vm, CAP, RB, kh, kv, wb=wb,
+                        roll16=r16))(layers)
+                print(f"[roll16] tiled/{tname} roll16={r16}: "
+                      f"{res[r16]:.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[roll16] tiled/{tname} roll16={r16}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+        if False in res and True in res:
+            err = float(jnp.max(jnp.abs(outs[False] - outs[True])))
+            wins.append(res[True] < res[False])
+            matches.append(err == 0.0)     # bit-exact on bf16 layers
+            print(f"[roll16] tiled/{tname}: err {err:.2e}", flush=True)
+
+    # --- production blend-fused e2e (bench operands) ---
+    from matryodshka_tpu.config import MatryConfig
+    from matryodshka_tpu.models import msi as msi_lib
+    from matryodshka_tpu.training import state as state_lib
+
+    cfg = MatryConfig(height=H, width=W, num_psv_planes=P,
+                      num_msi_planes=P, ngf=64, batch_size=1,
+                      compute_dtype="bfloat16").validate()
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    batch = _ods_batch(cfg)
+    psv_depths = jnp.asarray(sweep_lib.inv_depths(
+        cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
+    fused = msi_lib.fused_net_ops(model, state.params, cfg)
+
+    res, outs = {}, {}
+    for r16 in (False, True):
+        pr.DEFAULT_ROLL16 = r16    # resolved in the non-jitted wrappers
+
+        def e2e(params, batch):
+            o = msi_lib.infer_msi_prepared(
+                lambda p_, x: model.apply(p_, x), params, cfg, batch,
+                psv_depths, fused_net=fused, blend_fused=True)
+            eye = jnp.tile(jnp.eye(4)[None],
+                           (o["msi_pred"].shape[0], 1, 1))
+            return msi_lib.render_equirect_view_from_prepared(
+                o, eye, batch["tgt_pose"], psv_depths, cfg.height)
+
+        @jax.jit
+        def chain(params, batch):
+            def body(_, ref):
+                b2 = dict(batch)
+                b2["ref_image"] = ref
+                return jnp.clip(e2e(params, b2), 0.0, 1.0)
+            return jax.lax.fori_loop(0, CHAIN, body,
+                                     batch["ref_image"])
+        try:
+            res[r16] = timeit(chain, state.params, batch)
+            outs[r16] = jax.jit(e2e)(state.params, batch)
+            print(f"[roll16] ftbb-e2e roll16={r16}: {res[r16]:.2f} ms "
+                  f"({1000.0 / res[r16]:.1f} fps)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[roll16] ftbb-e2e roll16={r16}: FAIL "
+                  f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+    pr.DEFAULT_ROLL16 = bool(pr._PERF_FLAGS.get("roll16", False))
+    if False in res and True in res:
+        # the blend-fused band is rounded to bf16 under roll16 — gate at
+        # the bf16 storage-noise tolerance the bench itself uses
+        err = float(jnp.max(jnp.abs(outs[False] - outs[True])))
+        wins.append(res[True] < res[False])
+        matches.append(err < 2e-2)
+        print(f"[roll16] ftbb-e2e: err {err:.2e}", flush=True)
+        arm = bool(all(matches) and wins[-1])     # e2e must win
+        print(f"[roll16] wins={wins} matches={matches} -> arm={arm}",
+              flush=True)
+        _arm_flag("roll16", arm)
+
+
 PHASES = {
     "net_x2": net_x2_ab,
     "ladder_parts": ladder_parts,
     "vtap": vtap_ab,
+    "roll16": roll16_ab,
     "coordnet": coordnet_net,
     "train": train_throughput,
     "hres": hres_fps,
