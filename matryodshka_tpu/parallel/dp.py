@@ -37,6 +37,9 @@ def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
     batched = NamedSharding(mesh, P("data"))
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        # In-graph per-step key derivation (see training/step.py): the
+        # caller passes one constant base key for the whole run.
+        rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, aux), grads = grad_fn(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -86,8 +86,13 @@ def train(cfg: MatryConfig,
             jax.profiler.start_trace(os.path.join(ckpt_dir, "profile"))
         arrays = {k: v for k, v in batch.items()
                   if not isinstance(v, (list, str))}
-        state, metrics = train_step(state, arrays,
-                                    jax.random.fold_in(rng, step_i))
+        # One CONSTANT base key for the whole run: the per-step
+        # decorrelation is folded in-graph off state.step (step.py /
+        # dp.py), so the steady-state loop body is a single cached
+        # dispatch. Host-side fold_in(rng, step_i) here was measured at
+        # 5.7 s/step through the remote-TPU relay (a fresh tiny
+        # compile+dispatch per step; tools/train_probe2.py).
+        state, metrics = train_step(state, arrays, rng)
         if profile_steps and step_i == profile_steps[1]:
             jax.tree.map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()

@@ -195,6 +195,14 @@ def make_train_step(cfg: MatryConfig, model_apply: Callable, tx,
     loss_fn = make_loss_fn(cfg, model_apply, elpips_fn, gcn_inputs)
 
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
+        # Per-step decorrelation happens IN-GRAPH off state.step, so the
+        # host loop passes one constant base key and runs zero per-step
+        # host-side key ops. (Host-side per-step key derivation was
+        # measured catastrophically slow through the remote-TPU relay:
+        # fold_in(key, python_int) / presplit keys[i] cost a fresh tiny
+        # compile+dispatch per step — 4.2-5.7 s/step vs 0.14 s;
+        # tools/train_probe2.py.)
+        rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, aux), grads = grad_fn(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
