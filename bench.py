@@ -350,11 +350,13 @@ def main():
             tkey = jax.random.PRNGKey(1)
             tstate, tm = tstep(tstate, tbatch, tkey)   # compile
             jax.block_until_ready(tm["total_loss"])
+            # constant base key — per-step fold_in happens in-graph
+            # (step.py); host-side key derivation costs a fresh tiny
+            # compile per step through the relay (train_probe2)
             n = 5
             t0 = time.perf_counter()
             for i in range(n):
-                tstate, tm = tstep(tstate, tbatch,
-                                   jax.random.fold_in(tkey, i))
+                tstate, tm = tstep(tstate, tbatch, tkey)
             jax.block_until_ready(tm["total_loss"])
             tms = (time.perf_counter() - t0) / n * 1000.0
             print(f"[bench] train step (DP, pixel, b{tcfg.batch_size}): "

@@ -85,28 +85,23 @@ def train_throughput():
         state, metrics = step_fn(state, batch, key)
         jax.block_until_ready(metrics["total_loss"])
         compile_s = time.time() - t0
-        # NOTE: do NOT feed keys sliced from a pre-split [n,2] array —
-        # train_probe2 measured that pattern at 4197 ms/step vs 144 for
-        # per-iter host split (the r4b 4166/53479 numbers were that
-        # artifact, not the step). Measure the production loop's
-        # fold_in pattern (loop.py:90) AND the per-iter split.
+        # The production pattern (loop.py): ONE constant base key, the
+        # per-step fold_in happens in-graph off state.step. Any
+        # host-side per-step key derivation (fold_in(key, i) with a
+        # python int, pre-split key slicing) costs a fresh tiny
+        # compile+dispatch per step through the relay — measured
+        # 4.2-5.7 s/step vs 0.14 (train_probe2, r4c session).
         n = 10 if loss == "pixel" else 6
-        for kname in ("foldin", "hostsplit"):
-            k = key
-            t0 = time.perf_counter()
-            for i in range(n):
-                if kname == "foldin":
-                    sub = jax.random.fold_in(key, i)
-                else:
-                    k, sub = jax.random.split(k)
-                state, metrics = step_fn(state, batch, sub)
-            jax.block_until_ready(metrics["total_loss"])
-            ms = (time.perf_counter() - t0) / n * 1000.0
-            hours_140k = ms / 1000.0 * 140_000 / 3600.0
-            print(f"[train] loss={loss}/{kname}: {ms:.1f} ms/step "
-                  f"({1000.0 / ms:.2f} steps/s), compile {compile_s:.0f}s, "
-                  f"140k steps = {hours_140k:.1f} h "
-                  f"(loss={float(metrics['total_loss']):.4f})", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state, batch, key)
+        jax.block_until_ready(metrics["total_loss"])
+        ms = (time.perf_counter() - t0) / n * 1000.0
+        hours_140k = ms / 1000.0 * 140_000 / 3600.0
+        print(f"[train] loss={loss}: {ms:.1f} ms/step "
+              f"({1000.0 / ms:.2f} steps/s), compile {compile_s:.0f}s, "
+              f"140k steps = {hours_140k:.1f} h "
+              f"(loss={float(metrics['total_loss']):.4f})", flush=True)
 
 
 def net_x2_ab():
