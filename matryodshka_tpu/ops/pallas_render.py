@@ -323,6 +323,10 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
       "rollsonly" — rungs()/cvs removed: band copy + rolls + composite
       "nofma"     — coefficients built and accumulated, tap read+mult
                     skipped (acc += coef): all-nofma = tap FMA cost
+      "noacc"     — accumulator write-only (acc = upd, no read+add):
+                    all-noacc = the per-(k,t,m) RMW read+add traffic
+      "noch"      — ch coefficient build skipped (ch := fx slice):
+                    all-noch = the per-(k,t) compare/mult build cost
 
     `vtap` (perf_flags "vtap", hardware A/B'd): per k-rung, vertically
     pre-blend the rolled band ONCE into vtap_ref (static m levels gated
@@ -335,9 +339,11 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     bit-identical to the per-tile form (FP association: ch*(sum cvs*t)
     vs sum (ch*cvs)*t) but inside the gather-parity tolerance.
     """
-    do_rolls = parts in ("all", "rollsonly", "nofma")
+    do_rolls = parts in ("all", "rollsonly", "nofma", "noacc", "noch")
     do_rungs = parts != "rollsonly"
-    do_tap = parts in ("all", "norolls")
+    do_tap = parts in ("all", "norolls", "noacc", "noch")
+    do_accrmw = parts != "noacc"
+    do_ch = parts != "noch"
     p = pl.program_id(0)
     nblk = h_mid // row_block
     nt = width // wb
@@ -425,10 +431,13 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                 @pl.when((k >= tklo - 1) & (k <= tkhi))
                 def _(t=t, tmlo=tmlo, tmhi=tmhi):
                     c0 = t * wb
-                    ch = ((1.0 - fx[:, c0:c0 + wb])
-                          * (dk[:, c0:c0 + wb] == kf)
-                          + fx[:, c0:c0 + wb]
-                          * (dk[:, c0:c0 + wb] == kf + 1.0))
+                    if do_ch:
+                        ch = ((1.0 - fx[:, c0:c0 + wb])
+                              * (dk[:, c0:c0 + wb] == kf)
+                              + fx[:, c0:c0 + wb]
+                              * (dk[:, c0:c0 + wb] == kf + 1.0))
+                    else:
+                        ch = fx[:, c0:c0 + wb]
                     for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                         @pl.when((m >= tmlo) & (m <= tmhi + 1))
                         def _(mi=mi, m=m, t=t, ch=ch):
@@ -443,9 +452,13 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                             else:
                                 upd = jnp.broadcast_to(
                                     coef[None], (4, row_block, wb))
-                            acc_ref[:, :, c0:c0 + wb] = (
-                                acc_ref[:, :, c0:c0 + wb]
-                                + upd.astype(acc_ref.dtype))
+                            if do_accrmw:
+                                acc_ref[:, :, c0:c0 + wb] = (
+                                    acc_ref[:, :, c0:c0 + wb]
+                                    + upd.astype(acc_ref.dtype))
+                            else:
+                                acc_ref[:, :, c0:c0 + wb] = \
+                                    upd.astype(acc_ref.dtype)
 
         rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
                                         :].astype(rolled_ref.dtype)

@@ -9,6 +9,8 @@ in _render_kernel_tiled) at the bench and diagonal poses:
   nofma     — coef built, tap skipped  => all - nofma    = tap-FMA cost
   rollsonly — band copy + rolls only   => rollsonly      = copy+roll+
                                           composite + loop overhead
+  noacc     — accumulator write-only   => all - noacc    = RMW read+add
+  noch      — ch build skipped         => all - noch     = ch build
 
 Run:  python tools/exp_ladder_parts.py
 """
@@ -65,7 +67,8 @@ def main():
             jnp.asarray(rgba), CAP, RB, kv, jnp.bfloat16))
 
         res = {}
-        for parts in ("all", "norolls", "nofma", "rollsonly"):
+        for parts in ("all", "norolls", "nofma", "rollsonly", "noacc",
+                      "noch"):
             @jax.jit
             def chain(lay, parts=parts):
                 def body(_, l):
@@ -89,6 +92,10 @@ def main():
                 msg.append(f"tap_fma={a - res['nofma']:.2f}")
             if "rollsonly" in res:
                 msg.append(f"copy+roll+loop={res['rollsonly']:.2f}")
+            if "noacc" in res:
+                msg.append(f"acc_rmw={a - res['noacc']:.2f}")
+            if "noch" in res:
+                msg.append(f"ch_build={a - res['noch']:.2f}")
             print(" ".join(msg), flush=True)
 
 
