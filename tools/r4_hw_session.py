@@ -531,7 +531,35 @@ def roll16_ab():
         _arm_flag("roll16", arm)
 
 
+def bf16_roll_probe():
+    """Minimal Mosaic lowering probe: does pltpu.roll compile on a bf16
+    ref on this toolchain? (roll16's hardware A/B failed with an opaque
+    compile-helper crash; this isolates whether the bf16 lane rotate
+    itself is the unsupported op.)"""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    for dt, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        def kern(x_ref, o_ref):
+            o_ref[:, :] = pltpu.roll(x_ref[:, :], 1, axis=1)
+        x = jnp.arange(8 * 256, dtype=jnp.float32).reshape(8, 256)
+        try:
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((8, 256), dt),
+            )(x.astype(dt))
+            ok = bool(jnp.all(out[:, 1:] == x.astype(dt)[:, :-1]))
+            print(f"[bf16roll] {name}: compiled, shift-correct={ok}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bf16roll] {name}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
 PHASES = {
+    "bf16roll": bf16_roll_probe,
     "net_x2": net_x2_ab,
     "ladder_parts": ladder_parts,
     "vtap": vtap_ab,
