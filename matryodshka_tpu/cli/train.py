@@ -141,6 +141,10 @@ def main(argv=None):
     parser.add_argument("--dry_run_inference", action="store_true")
     parser.add_argument("--profile_steps", type=str, default=None,
                         help="'start,stop' step window for jax.profiler")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="chain K train steps per dispatch via an "
+                        "on-device lax.scan (amortizes dispatch "
+                        "overhead; bit-identical to K=1)")
     args = parser.parse_args(argv)
     from matryodshka_tpu.config import enable_compilation_cache
     enable_compilation_cache()
@@ -163,7 +167,21 @@ def main(argv=None):
     if cfg.gcn:
         _, mesh_coords, p2v = state_lib.build_gcn(cfg)
         gcn_inputs = (mesh_coords, p2v)
-    if cfg.num_data_shards > 1:
+    steps_per_call = max(1, int(args.steps_per_call))
+    if steps_per_call > 1:
+        from matryodshka_tpu.parallel import dp, mesh as mesh_lib
+        assert not cfg.gcn, "GCN + steps_per_call>1 not supported yet"
+        assert cfg.batch_size % cfg.num_data_shards == 0, (
+            "batch_size must divide evenly across data shards")
+        dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
+        step_fn = dp.make_dp_train_multi_step(
+            cfg, model.apply, tx, dmesh,
+            elpips_fn=build_elpips_fn(cfg),
+            steps_per_call=steps_per_call)
+        batch_sharding = None  # the loop stacks K host batches per call
+        print(f"[train] {steps_per_call} steps/dispatch, data-parallel "
+              f"over {cfg.num_data_shards} devices")
+    elif cfg.num_data_shards > 1:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
         assert not cfg.gcn, "GCN + data parallelism not supported yet"
         assert cfg.batch_size % cfg.num_data_shards == 0, (
@@ -186,11 +204,15 @@ def main(argv=None):
     if args.profile_steps:
         a, b = args.profile_steps.split(",")
         profile_steps = (int(a), int(b))
-    batches = device_prefetch(loader.batches(), size=2,
-                              sharding=batch_sharding)
+    if steps_per_call > 1:
+        batches = loader.batches()  # host batches; loop stacks K/call
+    else:
+        batches = device_prefetch(loader.batches(), size=2,
+                                  sharding=batch_sharding)
     loop_lib.train(cfg, state, step_fn, batches,
                    image_summary_fn=image_fn,
-                   profile_steps=profile_steps)
+                   profile_steps=profile_steps,
+                   steps_per_call=steps_per_call)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,67 @@ def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
     )
 
 
+def make_dp_train_multi_step(cfg: MatryConfig, model_apply: Callable, tx,
+                             mesh: Mesh,
+                             elpips_fn: Optional[Callable] = None,
+                             steps_per_call: int = 1,
+                             donate: bool = True) -> Callable:
+    """Jitted multi_step(state, stacked_batch, rng): `steps_per_call`
+    production train steps chained on-device via lax.scan in ONE
+    dispatch.
+
+    Each leaf of `stacked_batch` carries a leading [steps_per_call]
+    axis (one batch per inner step; stack with `stack_batches`).
+    Per-step RNG decorrelation is in-graph off state.step, identical to
+    `make_dp_train_step`, so K chained steps match K sequential
+    dispatches (same per-step keys and losses; params agree to f32 ulps
+    — the scanned body is a different XLA program). Metrics come back
+    stacked [steps_per_call] per scalar.
+
+    Why: per-dispatch overhead (and, through a remote-TPU relay,
+    multi-second host<->device pathologies — tools/train_probe2.py)
+    is amortized over K steps; the device runs steps back-to-back.
+    """
+    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn)
+    repl = NamedSharding(mesh, P())
+    stacked = NamedSharding(mesh, P(None, "data"))
+
+    def one_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in aux.items()
+                   if isinstance(v, jax.Array) and v.ndim == 0}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    def multi_step(state: TrainState, batches: Dict, rng: jax.Array):
+        def body(s, b):
+            return one_step(s, b, rng)
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, stacked, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def stack_batches(batches, mesh: Mesh) -> Dict:
+    """Stack K host batch dicts along a new leading axis and place them
+    sharded [None, 'data', ...] for `make_dp_train_multi_step`."""
+    import numpy as np
+    sh = NamedSharding(mesh, P(None, "data"))
+    keys = batches[0].keys()
+    return {k: jax.device_put(
+        np.stack([np.asarray(b[k]) for b in batches]), sh)
+        for k in keys}
+
+
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Place a host batch dict with axis 0 sharded over 'data'."""
     sh = NamedSharding(mesh, P("data"))

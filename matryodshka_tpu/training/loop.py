@@ -51,16 +51,25 @@ def train(cfg: MatryConfig,
           train_step: Callable,
           batches: Iterator[Dict],
           image_summary_fn: Optional[Callable] = None,
-          profile_steps: Optional[tuple] = None) -> TrainState:
+          profile_steps: Optional[tuple] = None,
+          steps_per_call: int = 1) -> TrainState:
     """Run the training loop until cfg.max_steps.
 
     Args:
-      train_step: jitted (state, batch, rng) -> (state, metrics).
-      batches: iterator of device-ready batch dicts.
+      train_step: jitted (state, batch, rng) -> (state, metrics); with
+        steps_per_call > 1, a multi-step fn from
+        `parallel.dp.make_dp_train_multi_step` taking a K-stacked batch
+        and returning [K]-stacked metrics.
+      batches: iterator of device-ready batch dicts (host batch dicts
+        when steps_per_call > 1 — the stacked transfer happens here).
       image_summary_fn: optional (state, batch) -> {name: HxWx3} images,
         called every summary_freq steps.
       profile_steps: optional (start, stop) step numbers for a
         jax.profiler trace written under the checkpoint dir.
+      steps_per_call: chain this many train steps per dispatch via the
+        on-device scan form (amortizes per-dispatch overhead; matches
+        sequential dispatches to f32 ulps since per-step RNG is folded
+        in-graph off state.step).
     """
     ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.experiment_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=10)
@@ -76,6 +85,14 @@ def train(cfg: MatryConfig,
 
     print(f"[train] parameter count: {param_count(state.params):,}")
     rng = jax.random.PRNGKey(cfg.random_seed)
+
+    if steps_per_call > 1:
+        state = _train_multi(cfg, state, train_step, batches, writer,
+                             manager, image_summary_fn, rng,
+                             steps_per_call)
+        manager.save(state)
+        writer.close()
+        return state
 
     start_step = int(state.step)
     t0 = time.time()
@@ -114,4 +131,62 @@ def train(cfg: MatryConfig,
 
     manager.save(state)
     writer.close()
+    return state
+
+
+def _train_multi(cfg: MatryConfig, state: TrainState, train_step,
+                 batches: Iterator[Dict], writer: SummaryWriter,
+                 manager: CheckpointManager, image_summary_fn,
+                 rng, k: int) -> TrainState:
+    """steps_per_call > 1 loop body: one dispatch per K-step window.
+
+    Summaries fire for every interior step hitting summary_freq (using
+    that step's row of the [K]-stacked metrics); checkpoints fire at
+    window ends whose window crossed save_latest_freq (so the saved
+    step is the window-end step). The iterator must yield at least K
+    more batches per window; training stops at the last full window
+    <= max_steps.
+    """
+    it = iter(batches)
+    step_i = int(state.step)
+    last_logged = step_i
+    t0 = time.time()
+    while step_i + k <= cfg.max_steps:
+        window = []
+        for b in it:
+            window.append({kk: v for kk, v in b.items()
+                           if not isinstance(v, (list, str))})
+            if len(window) == k:
+                break
+        if len(window) < k:
+            print(f"[train] data iterator exhausted mid-window @ "
+                  f"{step_i}; stopping")
+            break
+        stacked = {kk: np.stack([np.asarray(b[kk]) for b in window])
+                   for kk in window[0]}
+        state, metrics = train_step(state, stacked, rng)
+        w_end = step_i + k
+
+        summary_steps = [s for s in range(step_i + 1, w_end + 1)
+                         if s % cfg.summary_freq == 0]
+        if summary_steps:
+            m_host = jax.device_get(metrics)
+            dt = (time.time() - t0) / (w_end - last_logged)
+            t0, last_logged = time.time(), w_end
+            for s in summary_steps:
+                row = {kk: float(np.asarray(v)[s - step_i - 1])
+                       for kk, v in m_host.items()}
+                writer.scalars(s, {**row, "sec_per_step": dt})
+                print(f"[step {s:8d}] loss={row['total_loss']:.5f} "
+                      f"{dt:.4f}s/it")
+            if image_summary_fn is not None:
+                for name, img in image_summary_fn(
+                        state, window[-1]).items():
+                    writer.image(w_end, name, np.asarray(img))
+
+        if any(s % cfg.save_latest_freq == 0
+               for s in range(step_i + 1, w_end + 1)):
+            manager.save(state)
+            print(f"[train] saved checkpoint @ {w_end}")
+        step_i = w_end
     return state

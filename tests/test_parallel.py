@@ -81,3 +81,89 @@ def test_dp_train_step_matches_single_device():
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_dp_multi_step_matches_sequential():
+    """K steps chained on-device (make_dp_train_multi_step) must match
+    K sequential DP dispatches: the per-step RNG folds in-graph off
+    state.step in both forms. (Params agree to float32 ulps, not bits —
+    the scanned body is a different XLA program and fusion may
+    reassociate sums.)"""
+    cfg = tiny_cfg(batch_size=2)
+    rng = jax.random.PRNGKey(0)
+    state, model = state_lib.init_state(cfg, rng)
+    tx = state_lib.build_optimizer(cfg)
+    m = mesh_lib.make_mesh(data=2)
+    base_key = jax.random.PRNGKey(7)
+
+    rs = np.random.RandomState(3)
+    batches = []
+    ref = synthetic_batch(cfg)
+    for _ in range(3):
+        b = {k: np.asarray(v) for k, v in ref.items()}
+        b["ref_image"] = b["ref_image"] + rs.rand(
+            *b["ref_image"].shape).astype(np.float32) * 0.01
+        batches.append(b)
+
+    step_dp = dp.make_dp_train_step(cfg, model.apply, tx, m,
+                                    donate=False)
+    s_seq = state
+    seq_losses = []
+    for b in batches:
+        s_seq, mm = step_dp(s_seq, dp.shard_batch(b, m), base_key)
+        seq_losses.append(float(mm["total_loss"]))
+
+    multi = dp.make_dp_train_multi_step(cfg, model.apply, tx, m,
+                                        steps_per_call=3, donate=False)
+    s_multi, mm = multi(state, dp.stack_batches(batches, m), base_key)
+
+    assert int(s_multi.step) == int(s_seq.step)
+    np.testing.assert_array_equal(
+        np.asarray(mm["total_loss"]), np.asarray(seq_losses,
+                                                 dtype=np.float32))
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_loop_steps_per_call_matches_single(tmp_path):
+    """The steps_per_call>1 loop path produces the same final params as
+    the per-step loop on the same batch stream, and fires summaries and
+    a checkpoint."""
+    import dataclasses
+    import itertools
+
+    from matryodshka_tpu.training import loop as loop_lib
+
+    cfg = tiny_cfg(batch_size=2)
+    cfg = dataclasses.replace(
+        cfg, max_steps=4, summary_freq=2, save_latest_freq=4,
+        checkpoint_dir=str(tmp_path), experiment_name="spc").validate()
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    tx = state_lib.build_optimizer(cfg)
+    m = mesh_lib.make_mesh(data=1)
+    batch = {k: np.asarray(v)
+             for k, v in synthetic_batch(cfg).items()}
+
+    multi = dp.make_dp_train_multi_step(cfg, model.apply, tx, m,
+                                        steps_per_call=2, donate=False)
+    s_loop = loop_lib.train(
+        cfg, state, multi, itertools.repeat(batch), steps_per_call=2)
+
+    step_dp = dp.make_dp_train_step(cfg, model.apply, tx, m,
+                                    donate=False)
+    s_ref, _ = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(cfg.random_seed)
+    for _ in range(cfg.max_steps):
+        s_ref, _ = step_dp(s_ref, dp.shard_batch(batch, m), key)
+
+    assert int(s_loop.step) == cfg.max_steps
+    # Adam's rsqrt amplifies program-level ulp differences over 4 steps;
+    # the 3-step test above holds 2e-4, here one element drifts ~9e-4.
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-5)
+    logs = tmp_path / "spc" / "logs" / "metrics.jsonl"
+    assert logs.exists() and len(logs.read_text().splitlines()) == 2
