@@ -342,25 +342,29 @@ def main():
             tmesh = _mesh_lib.make_mesh(data=1)
             tstate, tmodel = _state_lib.init_state(
                 tcfg, jax.random.PRNGKey(0))
-            tstep = _dp.make_dp_train_step(
+            # Scan form: K steps chained in ONE dispatch. Python-loop
+            # timings through the relay are unreliable in BOTH
+            # directions (block_until_ready returns on enqueue-ack;
+            # per-dispatch host pathologies add seconds — STATUS.md
+            # round 4, tools/train_probe3.py).
+            K = 5
+            tstep = _dp.make_dp_train_multi_step(
                 tcfg, tmodel.apply, _state_lib.build_optimizer(tcfg),
-                tmesh)
-            tbatch = _dp.shard_batch(
-                {k: np.asarray(v) for k, v in batch.items()}, tmesh)
+                tmesh, steps_per_call=K)
+            hb = {k: np.asarray(v) for k, v in batch.items()}
+            tbatch = _dp.stack_batches([hb] * K, tmesh)
             tkey = jax.random.PRNGKey(1)
             tstate, tm = tstep(tstate, tbatch, tkey)   # compile
             jax.block_until_ready(tm["total_loss"])
-            # constant base key — per-step fold_in happens in-graph
-            # (step.py); host-side key derivation costs a fresh tiny
-            # compile per step through the relay (train_probe2)
-            n = 5
+            n_calls = 2
             t0 = time.perf_counter()
-            for i in range(n):
+            for i in range(n_calls):
                 tstate, tm = tstep(tstate, tbatch, tkey)
             jax.block_until_ready(tm["total_loss"])
-            tms = (time.perf_counter() - t0) / n * 1000.0
-            print(f"[bench] train step (DP, pixel, b{tcfg.batch_size}): "
-                  f"{tms:.1f} ms/step ({1000.0 / tms:.2f} steps/s; "
+            tms = (time.perf_counter() - t0) / (n_calls * K) * 1000.0
+            print(f"[bench] train step (DP, pixel, b{tcfg.batch_size}, "
+                  f"scan x{K}): {tms:.1f} ms/step "
+                  f"({1000.0 / tms:.2f} steps/s; "
                   f"140k steps = {tms * 140_000 / 3.6e6:.1f} h)",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — never cost the metric

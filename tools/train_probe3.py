@@ -66,11 +66,20 @@ def main():
         elpips_fn = build_elpips_fn(cfg) if loss == "elpips" else None
         loss_fn = make_loss_fn(cfg, model.apply, elpips_fn)
 
+        fwd_only = "--fwd" in sys.argv
+
         def multi_step(state, batch, base_key):
             # Body identical to parallel/dp.py::train_step; scanned K
-            # times so one dispatch = K production steps.
+            # times so one dispatch = K production steps. With --fwd
+            # the grad/update is skipped (loss-only scan) to split the
+            # step into forward vs backward+update cost.
             def body(s, _):
                 rng = jax.random.fold_in(base_key, s.step)
+                if fwd_only:
+                    l, aux = loss_fn(s.params, batch, rng)
+                    return TrainState(step=s.step + 1, params=s.params,
+                                      opt_state=s.opt_state), \
+                        aux["total_loss"]
                 grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
                 (l, aux), grads = grad_fn(s.params, batch, rng)
                 updates, opt_state = tx.update(grads, s.opt_state,
