@@ -87,6 +87,9 @@ def train(cfg: MatryConfig,
     rng = jax.random.PRNGKey(cfg.random_seed)
 
     if steps_per_call > 1:
+        if profile_steps is not None:
+            print("[train] profile_steps is not supported with "
+                  "steps_per_call > 1; ignoring")
         state = _train_multi(cfg, state, train_step, batches, writer,
                              manager, image_summary_fn, rng,
                              steps_per_call)
