@@ -21,14 +21,52 @@ from matryodshka_tpu.training import state as state_lib
 from matryodshka_tpu.training.step import make_loss_fn, make_train_step
 
 
-def build_elpips_fn(cfg: MatryConfig):
+def build_elpips_fn(cfg: MatryConfig, static_scale_swap=None,
+                    _metric=None):
     if cfg.which_loss != "elpips":
         return None
     from matryodshka_tpu.losses.elpips import api as elpips_api
-    metric = elpips_api.Metric(elpips_api.elpips_vgg(
+    metric = _metric or elpips_api.Metric(elpips_api.elpips_vgg(
         batch_size=cfg.batch_size, n=cfg.elpips_average_over),
         weight_path=cfg.elpips_weight_path)
-    return lambda p, t, rng: metric.forward(p, t, rng)
+    return lambda p, t, rng: metric.forward(
+        p, t, rng, static_scale_swap=static_scale_swap)
+
+
+def build_host_scale_step(cfg: MatryConfig, model_apply, tx, mesh,
+                          steps_per_call: int = 1, _metric=None):
+    """A train_step(state, batch, rng) that draws the E-LPIPS ensemble's
+    (scale, swap) on the HOST per dispatch and routes to one cached
+    jitted step per combination (single-branch grad path — the in-graph
+    16-way lax.switch backward measured 16.7 s/step on TPU, STATUS r4).
+
+    With steps_per_call > 1, the K scanned steps of one dispatch share
+    one (scale, swap) draw; every other ensemble draw (offsets, flips,
+    colors, dropout) still varies per step in-graph off state.step."""
+    from matryodshka_tpu.losses.elpips import api as elpips_api
+    from matryodshka_tpu.parallel import dp
+
+    metric = _metric or elpips_api.Metric(elpips_api.elpips_vgg(
+        batch_size=cfg.batch_size, n=cfg.elpips_average_over),
+        weight_path=cfg.elpips_weight_path)
+    host_rng = np.random.RandomState(cfg.random_seed + 1)
+    cache = {}
+
+    def step(state, batch, rng):
+        ss = elpips_api.sample_scale_swap_host(host_rng, metric.config)
+        if ss not in cache:
+            e_fn = build_elpips_fn(cfg, static_scale_swap=ss,
+                                   _metric=metric)
+            if steps_per_call > 1:
+                cache[ss] = dp.make_dp_train_multi_step(
+                    cfg, model_apply, tx, mesh, elpips_fn=e_fn,
+                    steps_per_call=steps_per_call)
+            else:
+                cache[ss] = dp.make_dp_train_step(
+                    cfg, model_apply, tx, mesh, elpips_fn=e_fn)
+        return cache[ss](state, batch, rng)
+
+    return step
 
 
 def make_image_summary_fn(cfg: MatryConfig, model_apply):
@@ -168,31 +206,41 @@ def main(argv=None):
         _, mesh_coords, p2v = state_lib.build_gcn(cfg)
         gcn_inputs = (mesh_coords, p2v)
     steps_per_call = max(1, int(args.steps_per_call))
+    host_scale = cfg.which_loss == "elpips" and cfg.elpips_host_scale
     if steps_per_call > 1:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
         assert not cfg.gcn, "GCN + steps_per_call>1 not supported yet"
         assert cfg.batch_size % cfg.num_data_shards == 0, (
             "batch_size must divide evenly across data shards")
         dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
-        step_fn = dp.make_dp_train_multi_step(
-            cfg, model.apply, tx, dmesh,
-            elpips_fn=build_elpips_fn(cfg),
-            steps_per_call=steps_per_call)
+        if host_scale:
+            step_fn = build_host_scale_step(
+                cfg, model.apply, tx, dmesh,
+                steps_per_call=steps_per_call)
+        else:
+            step_fn = dp.make_dp_train_multi_step(
+                cfg, model.apply, tx, dmesh,
+                elpips_fn=build_elpips_fn(cfg),
+                steps_per_call=steps_per_call)
         batch_sharding = None  # the loop stacks K host batches per call
         print(f"[train] {steps_per_call} steps/dispatch, data-parallel "
-              f"over {cfg.num_data_shards} devices")
-    elif cfg.num_data_shards > 1:
+              f"over {cfg.num_data_shards} devices"
+              + (" (host-drawn elpips scale)" if host_scale else ""))
+    elif cfg.num_data_shards > 1 or host_scale:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
         assert not cfg.gcn, "GCN + data parallelism not supported yet"
         assert cfg.batch_size % cfg.num_data_shards == 0, (
             "batch_size must divide evenly across data shards")
         dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
-        step_fn_raw = dp.make_dp_train_step(
-            cfg, model.apply, tx, dmesh,
-            elpips_fn=build_elpips_fn(cfg))
+        if host_scale:
+            step_fn = build_host_scale_step(cfg, model.apply, tx, dmesh)
+        else:
+            step_fn = dp.make_dp_train_step(
+                cfg, model.apply, tx, dmesh,
+                elpips_fn=build_elpips_fn(cfg))
         batch_sharding = mesh_lib.batch_sharding(dmesh)
-        print(f"[train] data-parallel over {cfg.num_data_shards} devices")
-        step_fn = step_fn_raw
+        print(f"[train] data-parallel over {cfg.num_data_shards} devices"
+              + (" (host-drawn elpips scale)" if host_scale else ""))
     else:
         batch_sharding = None
         step_fn = make_train_step(cfg, model.apply, tx,

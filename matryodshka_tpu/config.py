@@ -97,6 +97,12 @@ class MatryConfig:
     # --- elpips -------------------------------------------------------------
     elpips_weight_path: Optional[str] = None  # npz with vgg + lin weights
     elpips_average_over: int = 1
+    # Draw the ensemble's (scale, swap) on the HOST per dispatch and jit
+    # one single-branch step per combination (<= 2*num_scales cache
+    # entries) instead of an in-graph lax.switch over every scale. Same
+    # per-step distribution; avoids the switch tower's pathological
+    # backward on TPU (measured 16.7 s/step, STATUS round 4).
+    elpips_host_scale: bool = False
 
     # --- export -------------------------------------------------------------
     net_only: bool = False

@@ -172,12 +172,16 @@ class Metric:
         self.network = pnetlin.PNetLin(net, lin_w)
 
     def _one_draw(self, images: Tuple[Array, ...], reference: Array,
-                  key: Array) -> Tuple[Array, ...]:
+                  key: Array,
+                  static_scale_swap: Optional[tuple] = None
+                  ) -> Tuple[Array, ...]:
         cfg = self.config
         k_ens, k_drop = jax.random.split(key)
         params = transforms.sample_ensemble(
             k_ens, cfg.batch_size, cfg.offset_max,
-            cfg.scale_probabilities)
+            cfg.scale_probabilities,
+            static_scale=(static_scale_swap[0]
+                          if static_scale_swap is not None else None))
 
         def eval_branch(scale: int, swap: bool):
             def fn(_):
@@ -193,7 +197,18 @@ class Metric:
                 return jnp.stack(losses)
             return fn
 
-        if cfg.enable_scale:
+        if static_scale_swap is not None:
+            # HOST-drawn (scale, swap): evaluate the single matching
+            # branch with no lax.switch. Measured motivation (STATUS
+            # round 4): the grad of the 16-branch switch costs ~16.7
+            # s/step in the production train graph on TPU, vs ~7 ms
+            # for the metric in isolation; host-sampling the level per
+            # dispatch (same 1/i^2 categorical, see
+            # sample_scale_swap_host) keeps the distribution while
+            # keeping the grad path single-branch.
+            s, sw = static_scale_swap
+            out = eval_branch(int(s), bool(sw))(0)
+        elif cfg.enable_scale:
             # One static branch per (scale, swap): transposes and
             # downscales change shapes, which jit branches must pin.
             branches = []
@@ -222,9 +237,16 @@ class Metric:
                 out = jnp.stack(losses)
         return out
 
-    def forward(self, image, reference: Array, key: Array):
+    def forward(self, image, reference: Array, key: Array,
+                static_scale_swap: Optional[tuple] = None):
         """image: [N,H,W,3] or tuple thereof; reference: [N,H,W,3].
-        Returns [N] distances (or a tuple of them)."""
+        Returns [N] distances (or a tuple of them).
+
+        static_scale_swap: optional HOST-drawn (scale:int, swap:bool)
+        replacing the in-graph (scale, swap) draw — the single matching
+        branch is traced instead of a lax.switch over every level (one
+        jit cache entry per combination; see sample_scale_swap_host).
+        All other ensemble randomness stays in-graph keyed by `key`."""
         if isinstance(image, list):
             raise TypeError("image must be an array or tuple of arrays")
         images = image if isinstance(image, tuple) else (image,)
@@ -232,9 +254,26 @@ class Metric:
         total = jnp.zeros((len(images), self.config.batch_size),
                           jnp.float32)
         for i in range(self.config.average_over):
-            total = total + self._one_draw(images, reference,
-                                           jax.random.fold_in(key, i))
+            total = total + self._one_draw(
+                images, reference, jax.random.fold_in(key, i),
+                static_scale_swap=static_scale_swap)
         total = total / self.config.average_over
         if isinstance(image, tuple):
             return tuple(total[i] for i in range(len(images)))
         return total[0]
+
+
+def sample_scale_swap_host(rng: "np.random.RandomState",
+                           config: Config) -> tuple:
+    """Draw (scale, swap) on the HOST with the same distribution as the
+    in-graph draw: scale ~ categorical(scale_probabilities) (the 1/i^2
+    prior), swap ~ Bernoulli(0.5). Feed the result to
+    Metric.forward(static_scale_swap=...); the caller keeps one
+    compiled function per combination (at most 2*num_scales)."""
+    if not config.enable_scale:
+        scale = 1
+    else:
+        p = np.asarray(config.scale_probabilities, dtype=np.float64)
+        scale = 1 + int(rng.choice(len(p), p=p / p.sum()))
+    swap = bool(rng.randint(2)) if config.enable_swap else False
+    return scale, swap

@@ -39,23 +39,33 @@ class EnsembleParams(NamedTuple):
 
 
 def sample_ensemble(key: Array, batch_size: int, offset_max: int,
-                    scale_probabilities: Tuple[float, ...]) -> \
-        EnsembleParams:
+                    scale_probabilities: Tuple[float, ...],
+                    static_scale: int | None = None) -> EnsembleParams:
     """Sample one random transform set (elpips.py:59-118).
 
     Uses the same LHS-style stratified sampling for flips/colors.
+
+    static_scale: when given, the scale level is this HOST-drawn python
+    int instead of an in-graph draw (the caller then evaluates the
+    single matching branch instead of a lax.switch over all levels —
+    see api.Metric.forward(static_scale_swap=...)). Sub-key usage is
+    identical, so with static_scale equal to the level the in-graph
+    path would have drawn, every other transform draw matches exactly.
     """
     n = batch_size
     keys = jax.random.split(key, 8)
 
     offset_xy = jax.random.randint(keys[0], (n, 2), 0, offset_max + 1)
 
-    cumsum = np.cumsum(np.asarray(scale_probabilities))
-    u = cumsum[-1] * jax.random.uniform(keys[1], ())
-    # first index where u < cumsum[i] -> level i+1
-    level = 1 + jnp.sum(
-        (u >= jnp.asarray(cumsum[:-1])).astype(jnp.int32))
-    scale_level = jnp.clip(level, 1, len(scale_probabilities))
+    if static_scale is None:
+        cumsum = np.cumsum(np.asarray(scale_probabilities))
+        u = cumsum[-1] * jax.random.uniform(keys[1], ())
+        # first index where u < cumsum[i] -> level i+1
+        level = 1 + jnp.sum(
+            (u >= jnp.asarray(cumsum[:-1])).astype(jnp.int32))
+        scale_level = jnp.clip(level, 1, len(scale_probabilities))
+    else:
+        scale_level = jnp.asarray(int(static_scale), jnp.int32)
 
     scale_offset_xy = jax.random.randint(keys[2], (2,), 0,
                                          jnp.maximum(scale_level, 1))

@@ -171,3 +171,44 @@ def test_squeeze_tap_channels():
     tapsf = netf((_img(13, 64, 64),))
     assert [t[0].shape[-1] for t in tapsf] == \
         networks.SQUEEZE_FULL_MAXPOOL_CHANNELS
+
+
+def test_static_scale_swap_matches_switch(elpips_metric):
+    """forward(static_scale_swap=(s, sw)) with (s, sw) equal to the
+    level the in-graph draw would pick must reproduce the lax.switch
+    path exactly (same key -> same sub-draws for every other
+    transform)."""
+    cfg = elpips_metric.config
+    a, b = _img(1), _img(2)
+    key = jax.random.PRNGKey(7)
+    d_dyn = elpips_metric.forward(a, b, key)
+
+    k_ens, _ = jax.random.split(jax.random.fold_in(key, 0))
+    params = transforms.sample_ensemble(
+        k_ens, cfg.batch_size, cfg.offset_max, cfg.scale_probabilities)
+    s = int(params.scale_level)
+    sw = bool(int(params.swap_xy)) and cfg.enable_swap
+    d_static = elpips_metric.forward(a, b, key,
+                                     static_scale_swap=(s, sw))
+    np.testing.assert_allclose(np.asarray(d_static), np.asarray(d_dyn),
+                               rtol=1e-6, atol=1e-7)
+    # ...and a deliberately wrong level must differ (sanity that the
+    # static path actually changes the computation)
+    d_other = elpips_metric.forward(
+        a, b, key, static_scale_swap=(s % cfg.num_scales + 1, sw))
+    assert abs(float(d_other[0]) - float(d_dyn[0])) > 0
+
+
+def test_sample_scale_swap_host_distribution():
+    cfg = api.elpips_vgg(batch_size=1)
+    rng = np.random.RandomState(0)
+    draws = [api.sample_scale_swap_host(rng, cfg) for _ in range(200)]
+    scales = np.asarray([d[0] for d in draws])
+    assert scales.min() >= 1 and scales.max() <= cfg.num_scales
+    # 1/i^2 prior: level 1 carries the most mass
+    assert (scales == 1).mean() > 0.4
+    assert any(d[1] for d in draws) and not all(d[1] for d in draws)
+    # deterministic given the seed
+    rng2 = np.random.RandomState(0)
+    assert draws[:10] == [api.sample_scale_swap_host(rng2, cfg)
+                          for _ in range(10)]

@@ -167,3 +167,35 @@ def test_loop_steps_per_call_matches_single(tmp_path):
                                    rtol=2e-3, atol=5e-5)
     logs = tmp_path / "spc" / "logs" / "metrics.jsonl"
     assert logs.exists() and len(logs.read_text().splitlines()) == 2
+
+
+def test_host_scale_elpips_step():
+    """build_host_scale_step: host-drawn (scale, swap) routes to cached
+    single-branch jitted steps; losses stay finite and the cache fills
+    with at most 2*num_scales entries."""
+    import warnings
+
+    from matryodshka_tpu.cli.train import build_host_scale_step
+    from matryodshka_tpu.losses.elpips import api as elpips_api
+
+    cfg = tiny_cfg(batch_size=1, which_loss="elpips")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ecfg = elpips_api.elpips_vgg(batch_size=1)
+        ecfg.num_scales = 2  # keep branches tiny-image-safe
+        metric = elpips_api.Metric(ecfg)
+
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    tx = state_lib.build_optimizer(cfg)
+    m = mesh_lib.make_mesh(data=1)
+    step = build_host_scale_step(cfg, model.apply, tx, m,
+                                 _metric=metric)
+    batch = dp.shard_batch(
+        {k: np.asarray(v) for k, v in synthetic_batch(cfg).items()}, m)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(4):
+        state, mm = step(state, batch, key)
+        losses.append(float(mm["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 4

@@ -57,10 +57,22 @@ def main():
     mesh = mesh_lib.make_mesh(data=1)
     state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
     tx = state_lib.build_optimizer(cfg)
-    # Plain LPIPS in place of the production elpips_vgg ensemble.
-    metric = elpips_api.Metric(elpips_api.lpips_vgg(cfg.batch_size))
-    lpips_fn = lambda p, t, rng: metric.forward(p, t, rng)  # noqa: E731
-    loss_fn = make_loss_fn(cfg, model.apply, lpips_fn)
+    if "--static-ensemble" in sys.argv:
+        # Production elpips_vgg ensemble but with HOST-drawn (scale,
+        # swap) pinned to the modal draw (1, False): the single-branch
+        # grad path of cfg.elpips_host_scale. Expect pixel-step cost +
+        # transforms + one VGG branch if the 16-branch switch backward
+        # is the 16.7 s pathology.
+        name = "elpips-static"
+        metric = elpips_api.Metric(elpips_api.elpips_vgg(cfg.batch_size))
+        lfn = lambda p, t, rng: metric.forward(  # noqa: E731
+            p, t, rng, static_scale_swap=(1, False))
+    else:
+        # Plain LPIPS in place of the production elpips_vgg ensemble.
+        name = "lpips"
+        metric = elpips_api.Metric(elpips_api.lpips_vgg(cfg.batch_size))
+        lfn = lambda p, t, rng: metric.forward(p, t, rng)  # noqa: E731
+    loss_fn = make_loss_fn(cfg, model.apply, lfn)
 
     def multi_step(state, batch, base_key):
         def body(s, _):
@@ -88,18 +100,18 @@ def main():
         {k: np.asarray(v) for k, v in _ods_batch(cfg).items()}, mesh)
     key = jax.random.PRNGKey(1)
 
-    mode = "fwd" if fwd_only else "full"
+    mode = (name + "-fwd") if fwd_only else (name + "-full")
     t0 = time.time()
     state, ls = fn(state, batch, key)
     jax.block_until_ready(ls)
-    print(f"[lpips-train/{mode}] compile+first {K_INNER} steps "
+    print(f"[train/{mode}] compile+first {K_INNER} steps "
           f"{time.time() - t0:.0f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(N_CALLS):
         state, ls = fn(state, batch, key)
     jax.block_until_ready(ls)
     ms = (time.perf_counter() - t0) / (N_CALLS * K_INNER) * 1000.0
-    print(f"[lpips-train/{mode}] {ms:.1f} ms/step "
+    print(f"[train/{mode}] {ms:.1f} ms/step "
           f"(losses {np.asarray(ls)[:3]})", flush=True)
 
 
