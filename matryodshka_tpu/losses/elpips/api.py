@@ -177,8 +177,12 @@ class Metric:
                   ) -> Tuple[Array, ...]:
         cfg = self.config
         k_ens, k_drop = jax.random.split(key)
+        # batch size from the INPUT shape, not the config: under
+        # data-parallel shard_map (parallel/dp.py) each device evaluates
+        # its local batch shard, which may be smaller than the global
+        # config.batch_size.
         params = transforms.sample_ensemble(
-            k_ens, cfg.batch_size, cfg.offset_max,
+            k_ens, reference.shape[0], cfg.offset_max,
             cfg.scale_probabilities,
             static_scale=(static_scale_swap[0]
                           if static_scale_swap is not None else None))
@@ -251,7 +255,7 @@ class Metric:
             raise TypeError("image must be an array or tuple of arrays")
         images = image if isinstance(image, tuple) else (image,)
 
-        total = jnp.zeros((len(images), self.config.batch_size),
+        total = jnp.zeros((len(images), reference.shape[0]),
                           jnp.float32)
         for i in range(self.config.average_over):
             total = total + self._one_draw(

@@ -37,10 +37,17 @@ Array = jax.Array
 
 def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
                  elpips_fn: Optional[Callable] = None,
-                 gcn_inputs=None) -> Callable:
+                 gcn_inputs=None, n_shards: int = 1) -> Callable:
     """Build loss_fn(params, batch, rng) -> (total_loss, aux dict).
 
     gcn_inputs: (mesh_coords, p2v) when cfg.gcn (see state.build_gcn).
+
+    n_shards: number of data-parallel shards this loss runs under
+    (parallel/dp.py shard_map). Mean-type terms — elpips distances
+    (jnp.mean over the batch) and the weight reg (batch-independent) —
+    are scaled by 1/n_shards so ONE psum of the local totals/grads
+    reproduces the global-batch loss exactly; the sum-type pixel loss
+    (0.5*sum of squares, losses/basic.py) rides the psum unscaled.
     """
 
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
@@ -57,7 +64,8 @@ def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
             p, t = pred, target
             if sph_w is not None:
                 p, t = p * sph_w, t * sph_w
-            return jnp.mean(elpips_fn(p, t, rng))
+            # batch-mean term: global mean == psum of local mean / K
+            return jnp.mean(elpips_fn(p, t, rng)) / n_shards
         return l2_loss(pred, target, sph_w)
 
     def loss_fn(params, batch: Dict[str, Array], rng: Array
@@ -174,8 +182,9 @@ def make_loss_fn(cfg: MatryConfig, model_apply: Callable,
                 total += 10.0 * enforcement
 
         if cfg.wreg:
+            # batch-independent (replicated) term: psum of /K == itself
             wsum = 0.5 * sum(jnp.sum(jnp.square(p))
-                             for p in jax.tree.leaves(params))
+                             for p in jax.tree.leaves(params)) / n_shards
             aux["weight_reg_loss"] = 0.001 * wsum
             total += 0.001 * wsum
 
