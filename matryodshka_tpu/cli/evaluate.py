@@ -102,6 +102,11 @@ def main(argv=None):
     ap.add_argument("--remove_pole", action="store_true")
     ap.add_argument("--with_elpips", action="store_true")
     ap.add_argument("--elpips_weight_path", type=str, default=None)
+    ap.add_argument("--allow_uncalibrated", action="store_true",
+                    help="permit E-LPIPS scores computed with random "
+                         "conv features (no --elpips_weight_path); the "
+                         "numbers are NOT the calibrated perceptual "
+                         "distance and are stamped as such in the JSON")
     ap.add_argument("--output_json", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -111,9 +116,22 @@ def main(argv=None):
         elpips_metric = elpips_api.Metric(
             elpips_api.elpips_vgg(batch_size=1),
             weight_path=args.elpips_weight_path)
+        if not elpips_metric.calibrated and not args.allow_uncalibrated:
+            # The reference always evaluates with real pretrained
+            # features (eval.py:138-142); a random-feature score must
+            # never leave this tool looking like one.
+            ap.error(
+                "E-LPIPS would run with RANDOM conv features (no "
+                "--elpips_weight_path and no importable blob). Scores "
+                "would be meaningless as perceptual distances. Pass "
+                "--elpips_weight_path (build with "
+                "tools/import_elpips_weights.py) or opt in explicitly "
+                "with --allow_uncalibrated.")
 
     result: Dict = {"result_root": args.result_root,
                     "eval_type": args.eval_type}
+    if elpips_metric is not None:
+        result["elpips_calibrated"] = bool(elpips_metric.calibrated)
     if args.eval_type == "reg":
         examples = collect_examples(args.result_root)
         print(f"[eval] {len(examples)} examples")

@@ -207,6 +207,23 @@ def main(argv=None):
         gcn_inputs = (mesh_coords, p2v)
     steps_per_call = max(1, int(args.steps_per_call))
     host_scale = cfg.which_loss == "elpips" and cfg.elpips_host_scale
+    elpips_metric = None
+    static_log_fields = None
+    if cfg.which_loss == "elpips":
+        from matryodshka_tpu.losses.elpips import api as elpips_api
+        elpips_metric = elpips_api.Metric(elpips_api.elpips_vgg(
+            batch_size=cfg.batch_size, n=cfg.elpips_average_over),
+            weight_path=cfg.elpips_weight_path)
+        # Stamp calibration state into every metrics.jsonl record:
+        # training on random conv features is runnable but its loss
+        # values are NOT comparable to calibrated E-LPIPS numbers.
+        static_log_fields = {
+            "elpips_calibrated": bool(elpips_metric.calibrated)}
+        if not elpips_metric.calibrated:
+            print("[train] WARNING: E-LPIPS running with RANDOM conv "
+                  "features (no elpips_weight_path) — loss values are "
+                  "not the calibrated perceptual distance; metrics "
+                  "records carry elpips_calibrated=false")
     if steps_per_call > 1:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
         assert not cfg.gcn, "GCN + steps_per_call>1 not supported yet"
@@ -216,11 +233,11 @@ def main(argv=None):
         if host_scale:
             step_fn = build_host_scale_step(
                 cfg, model.apply, tx, dmesh,
-                steps_per_call=steps_per_call)
+                steps_per_call=steps_per_call, _metric=elpips_metric)
         else:
             step_fn = dp.make_dp_train_multi_step(
                 cfg, model.apply, tx, dmesh,
-                elpips_fn=build_elpips_fn(cfg),
+                elpips_fn=build_elpips_fn(cfg, _metric=elpips_metric),
                 steps_per_call=steps_per_call)
         batch_sharding = None  # the loop stacks K host batches per call
         print(f"[train] {steps_per_call} steps/dispatch, data-parallel "
@@ -233,18 +250,20 @@ def main(argv=None):
             "batch_size must divide evenly across data shards")
         dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
         if host_scale:
-            step_fn = build_host_scale_step(cfg, model.apply, tx, dmesh)
+            step_fn = build_host_scale_step(cfg, model.apply, tx, dmesh,
+                                            _metric=elpips_metric)
         else:
             step_fn = dp.make_dp_train_step(
                 cfg, model.apply, tx, dmesh,
-                elpips_fn=build_elpips_fn(cfg))
+                elpips_fn=build_elpips_fn(cfg, _metric=elpips_metric))
         batch_sharding = mesh_lib.batch_sharding(dmesh)
         print(f"[train] data-parallel over {cfg.num_data_shards} devices"
               + (" (host-drawn elpips scale)" if host_scale else ""))
     else:
         batch_sharding = None
         step_fn = make_train_step(cfg, model.apply, tx,
-                                  elpips_fn=build_elpips_fn(cfg),
+                                  elpips_fn=build_elpips_fn(
+                                      cfg, _metric=elpips_metric),
                                   gcn_inputs=gcn_inputs)
 
     image_fn = None if cfg.gcn else make_image_summary_fn(cfg, model.apply)
@@ -260,7 +279,8 @@ def main(argv=None):
     loop_lib.train(cfg, state, step_fn, batches,
                    image_summary_fn=image_fn,
                    profile_steps=profile_steps,
-                   steps_per_call=steps_per_call)
+                   steps_per_call=steps_per_call,
+                   static_log_fields=static_log_fields)
 
 
 if __name__ == "__main__":

@@ -110,15 +110,18 @@ def packaged_lin_weights(metric: str):
 
 
 def load_weights(weight_path: Optional[str], metric: str):
-    """Returns (net_weights, lin_weights).
+    """Returns (net_weights, lin_weights, calibrated).
 
     Resolution order:
       * explicit ``weight_path`` .npz: 'net/...' conv weights (HWIO) +
         'lin/...' linear weights (build with
-        tools/import_elpips_weights.py);
+        tools/import_elpips_weights.py) — ``calibrated`` is True;
       * otherwise: packaged CALIBRATED linear weights + deterministic
         random conv features (runnable, loudly warned — the VGG/Squeeze
-        conv blobs are not redistributable inside this repo).
+        conv blobs are not redistributable inside this repo) —
+        ``calibrated`` is False, and every consumer must surface that
+        (eval JSON, training metrics) so random-feature scores can
+        never be silently compared against real LPIPS numbers.
     """
     vgg = metric in ("vgg", "vgg_ensemble")
     if weight_path is not None:
@@ -127,7 +130,7 @@ def load_weights(weight_path: Optional[str], metric: str):
         lin = {k[4:]: blob[k] for k in blob.files if k.startswith("lin/")}
         if not lin:
             lin = packaged_lin_weights(metric)
-        return net, lin
+        return net, lin, True
     warnings.warn(
         "elpips: no weight_path given — using packaged calibrated linear "
         "weights but DETERMINISTIC RANDOM conv features; the metric is "
@@ -136,7 +139,7 @@ def load_weights(weight_path: Optional[str], metric: str):
     key = jax.random.PRNGKey(0)
     net = (networks.random_vgg_weights(key) if vgg
            else networks.random_squeeze_weights(key))
-    return net, packaged_lin_weights(metric)
+    return net, packaged_lin_weights(metric), False
 
 
 class Metric:
@@ -150,7 +153,8 @@ class Metric:
     def __init__(self, config: Config,
                  weight_path: Optional[str] = None):
         self.config = config
-        net_w, lin_w = load_weights(weight_path, config.metric)
+        net_w, lin_w, self.calibrated = load_weights(weight_path,
+                                                     config.metric)
         if config.metric == "vgg_ensemble":
             net = networks.VGG16Features(
                 net_w, "full_avg", use_dropout=config.enable_dropout,

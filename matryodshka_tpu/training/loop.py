@@ -27,13 +27,20 @@ from matryodshka_tpu.training.state import TrainState, param_count
 class SummaryWriter:
     """Scalars to JSONL + images to PNG under a log dir."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, static_fields: Optional[Dict] = None):
         self.log_dir = log_dir
+        # Stamped into every scalar record — e.g.
+        # {"elpips_calibrated": false} when the perceptual loss runs on
+        # random conv features, so no metrics.jsonl can carry a silent
+        # random-feature score (the reference always trains/evals with
+        # real pretrained features).
+        self.static_fields = dict(static_fields or {})
         os.makedirs(log_dir, exist_ok=True)
         self._fh = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def scalars(self, step: int, metrics: Dict[str, float]) -> None:
         rec = {"step": step}
+        rec.update(self.static_fields)
         rec.update({k: float(v) for k, v in metrics.items()})
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
@@ -52,7 +59,8 @@ def train(cfg: MatryConfig,
           batches: Iterator[Dict],
           image_summary_fn: Optional[Callable] = None,
           profile_steps: Optional[tuple] = None,
-          steps_per_call: int = 1) -> TrainState:
+          steps_per_call: int = 1,
+          static_log_fields: Optional[Dict] = None) -> TrainState:
     """Run the training loop until cfg.max_steps.
 
     Args:
@@ -73,7 +81,8 @@ def train(cfg: MatryConfig,
     """
     ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.experiment_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=10)
-    writer = SummaryWriter(os.path.join(ckpt_dir, "logs"))
+    writer = SummaryWriter(os.path.join(ckpt_dir, "logs"),
+                           static_fields=static_log_fields)
 
     if cfg.continue_train:
         latest = manager.latest_step()

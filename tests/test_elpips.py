@@ -145,6 +145,35 @@ def test_default_metric_uses_packaged_lin():
         np.testing.assert_array_equal(m.network.lin[k], v)
 
 
+def test_calibration_flag_surfaced(tmp_path):
+    """Random-feature metrics must self-identify (VERDICT r4 item 6):
+    Metric.calibrated is False without a weight blob, True with one,
+    and cli/evaluate refuses uncalibrated scores without an explicit
+    opt-in."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = api.Metric(api.lpips_vgg(batch_size=1))
+    assert m.calibrated is False
+
+    # load_weights reports calibrated=True for an explicit blob.
+    import numpy as onp
+    blob = tmp_path / "w.npz"
+    onp.savez(blob, **{"net/conv1_1/kernel": onp.zeros((3, 3, 3, 64),
+                                                       onp.float32)})
+    net, lin, calibrated = api.load_weights(str(blob), "vgg")
+    assert calibrated is True
+    assert "conv1_1/kernel" in net
+
+    # evaluate CLI: random features + no --allow_uncalibrated = refusal.
+    import pytest
+    from matryodshka_tpu.cli import evaluate
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(SystemExit):
+            evaluate.main(["--result_root", str(tmp_path),
+                           "--with_elpips"])
+
+
 def test_vgg_tap_channels():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
