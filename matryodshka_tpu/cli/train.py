@@ -34,7 +34,8 @@ def build_elpips_fn(cfg: MatryConfig, static_scale_swap=None,
 
 
 def build_host_scale_step(cfg: MatryConfig, model_apply, tx, mesh,
-                          steps_per_call: int = 1, _metric=None):
+                          steps_per_call: int = 1, _metric=None,
+                          gcn_inputs=None):
     """A train_step(state, batch, rng) that draws the E-LPIPS ensemble's
     (scale, swap) on the HOST per dispatch and routes to one cached
     jitted step per combination (single-branch grad path — the in-graph
@@ -60,10 +61,12 @@ def build_host_scale_step(cfg: MatryConfig, model_apply, tx, mesh,
             if steps_per_call > 1:
                 cache[ss] = dp.make_dp_train_multi_step(
                     cfg, model_apply, tx, mesh, elpips_fn=e_fn,
+                    gcn_inputs=gcn_inputs,
                     steps_per_call=steps_per_call)
             else:
                 cache[ss] = dp.make_dp_train_step(
-                    cfg, model_apply, tx, mesh, elpips_fn=e_fn)
+                    cfg, model_apply, tx, mesh, elpips_fn=e_fn,
+                    gcn_inputs=gcn_inputs)
         return cache[ss](state, batch, rng)
 
     return step
@@ -226,18 +229,19 @@ def main(argv=None):
                   "records carry elpips_calibrated=false")
     if steps_per_call > 1:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
-        assert not cfg.gcn, "GCN + steps_per_call>1 not supported yet"
         assert cfg.batch_size % cfg.num_data_shards == 0, (
             "batch_size must divide evenly across data shards")
         dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
         if host_scale:
             step_fn = build_host_scale_step(
                 cfg, model.apply, tx, dmesh,
-                steps_per_call=steps_per_call, _metric=elpips_metric)
+                steps_per_call=steps_per_call, _metric=elpips_metric,
+                gcn_inputs=gcn_inputs)
         else:
             step_fn = dp.make_dp_train_multi_step(
                 cfg, model.apply, tx, dmesh,
                 elpips_fn=build_elpips_fn(cfg, _metric=elpips_metric),
+                gcn_inputs=gcn_inputs,
                 steps_per_call=steps_per_call)
         batch_sharding = None  # the loop stacks K host batches per call
         print(f"[train] {steps_per_call} steps/dispatch, data-parallel "
@@ -245,17 +249,18 @@ def main(argv=None):
               + (" (host-drawn elpips scale)" if host_scale else ""))
     elif cfg.num_data_shards > 1 or host_scale:
         from matryodshka_tpu.parallel import dp, mesh as mesh_lib
-        assert not cfg.gcn, "GCN + data parallelism not supported yet"
         assert cfg.batch_size % cfg.num_data_shards == 0, (
             "batch_size must divide evenly across data shards")
         dmesh = mesh_lib.make_mesh(data=cfg.num_data_shards)
         if host_scale:
             step_fn = build_host_scale_step(cfg, model.apply, tx, dmesh,
-                                            _metric=elpips_metric)
+                                            _metric=elpips_metric,
+                                            gcn_inputs=gcn_inputs)
         else:
             step_fn = dp.make_dp_train_step(
                 cfg, model.apply, tx, dmesh,
-                elpips_fn=build_elpips_fn(cfg, _metric=elpips_metric))
+                elpips_fn=build_elpips_fn(cfg, _metric=elpips_metric),
+                gcn_inputs=gcn_inputs)
         batch_sharding = mesh_lib.batch_sharding(dmesh)
         print(f"[train] data-parallel over {cfg.num_data_shards} devices"
               + (" (host-drawn elpips scale)" if host_scale else ""))

@@ -1393,6 +1393,13 @@ def _read_perf_flags(path=None):
         return {}, path
     flags = {}
     for k, v in raw.items():
+        if k == "_backend":
+            # Metadata written by ops.perf_probe.ensure_armed: the
+            # backend fingerprint the flags were armed against. Not a
+            # kernel flag; consumed by the prober, ignored here.
+            if isinstance(v, str):
+                flags[k] = v
+            continue
         if k not in PERF_FLAG_SCHEMA:
             warnings.warn(f"perf_flags.json: unknown key {k!r} "
                           f"(known: {sorted(PERF_FLAG_SCHEMA)}) — "

@@ -47,11 +47,15 @@ def _single_device(mesh: Mesh) -> bool:
 
 
 def _make_one_step(cfg: MatryConfig, model_apply: Callable, tx,
-                   ndata: int, elpips_fn: Optional[Callable]):
+                   ndata: int, elpips_fn: Optional[Callable],
+                   gcn_inputs=None):
     """The per-device step body. With ndata > 1 it must run inside
     shard_map (uses the 'data' axis); with ndata == 1 it is the plain
-    single-device production step."""
-    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn, n_shards=ndata)
+    single-device production step. gcn_inputs: (mesh_coords, p2v) for
+    the GCN model family (training/state.py:build_gcn) — replicated
+    constants closed over the body."""
+    loss_fn = make_loss_fn(cfg, model_apply, elpips_fn,
+                           gcn_inputs=gcn_inputs, n_shards=ndata)
 
     def one_step(state: TrainState, batch: Dict, rng: jax.Array):
         # In-graph per-step key derivation (see training/step.py): the
@@ -82,6 +86,7 @@ def _make_one_step(cfg: MatryConfig, model_apply: Callable, tx,
 def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
                        mesh: Mesh,
                        elpips_fn: Optional[Callable] = None,
+                       gcn_inputs=None,
                        donate: bool = True) -> Callable:
     """Jitted data-parallel train_step(state, batch, rng).
 
@@ -93,7 +98,8 @@ def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
     (training/step.py).
     """
     ndata = _data_size(mesh)
-    one_step = _make_one_step(cfg, model_apply, tx, ndata, elpips_fn)
+    one_step = _make_one_step(cfg, model_apply, tx, ndata, elpips_fn,
+                              gcn_inputs=gcn_inputs)
     dn = (0,) if donate else ()
     if _single_device(mesh):
         return jax.jit(one_step, donate_argnums=dn)
@@ -108,6 +114,7 @@ def make_dp_train_step(cfg: MatryConfig, model_apply: Callable, tx,
 def make_dp_train_multi_step(cfg: MatryConfig, model_apply: Callable, tx,
                              mesh: Mesh,
                              elpips_fn: Optional[Callable] = None,
+                             gcn_inputs=None,
                              steps_per_call: int = 1,
                              donate: bool = True) -> Callable:
     """Jitted multi_step(state, stacked_batch, rng): `steps_per_call`
@@ -127,7 +134,8 @@ def make_dp_train_multi_step(cfg: MatryConfig, model_apply: Callable, tx,
     is amortized over K steps; the device runs steps back-to-back.
     """
     ndata = _data_size(mesh)
-    one_step = _make_one_step(cfg, model_apply, tx, ndata, elpips_fn)
+    one_step = _make_one_step(cfg, model_apply, tx, ndata, elpips_fn,
+                              gcn_inputs=gcn_inputs)
 
     def multi_step(state: TrainState, batches: Dict, rng: jax.Array):
         def body(s, b):

@@ -199,3 +199,76 @@ def test_host_scale_elpips_step():
         losses.append(float(mm["total_loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == 4
+
+
+def test_gcn_dp_multi_step(tmp_path):
+    """GCN trains under the DP multi-step trainer (VERDICT r4 item 8).
+
+    The GCN forward is batch-1 by construction (msi.infer_gcn_msi,
+    reference msi.py:291-382), which is exactly what shard_map DP
+    provides per device: global batch 2 over a 2-shard mesh runs
+    batch-1 bodies. Checks: (a) 2-shard scan-of-2-steps runs and
+    decreases the loss; (b) on a 1-device mesh the multi-step GCN
+    losses match the plain make_train_step exactly."""
+    from matryodshka_tpu.training.step import make_train_step
+
+    def gcn_cfg(bs):
+        return MatryConfig(height=16, width=32, num_psv_planes=3,
+                           num_msi_planes=3, ngf=8, batch_size=bs,
+                           gcn=True, subdiv=2, mesh_dir=str(tmp_path),
+                           compute_dtype="float32").validate()
+
+    def gcn_batch(bs):
+        rs = np.random.RandomState(0)
+        eye = np.tile(np.eye(4, dtype=np.float32)[None], (bs, 1, 1))
+        intr = np.tile(np.asarray(
+            [[0.032, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+            dtype=np.float32)[None], (bs, 1, 1))
+        return {
+            "ref_image": rs.rand(bs, 16, 32, 3).astype(np.float32),
+            "src_image": rs.rand(bs, 16, 32, 3).astype(np.float32),
+            "tgt_image": rs.rand(bs, 16, 32, 3).astype(np.float32),
+            "ref_pose": eye, "src_pose": eye, "ref_pose_inv": eye,
+            "tgt_pose": np.asarray([[0.03, 0.0, 0.0]] * bs, np.float32),
+            "intrinsics": intr,
+        }
+
+    base_key = jax.random.PRNGKey(7)
+
+    # (a) 2-shard DP: batch-1 per device
+    cfg2 = gcn_cfg(2)
+    state2, model2 = state_lib.init_state(cfg2, jax.random.PRNGKey(0))
+    _, coords, p2v = state_lib.build_gcn(cfg2)
+    tx = state_lib.build_optimizer(cfg2)
+    m2 = mesh_lib.make_mesh(data=2)
+    multi2 = dp.make_dp_train_multi_step(
+        cfg2, model2.apply, tx, m2, gcn_inputs=(coords, p2v),
+        steps_per_call=2, donate=False)
+    b2 = gcn_batch(2)
+    s_multi, mm = multi2(state2, dp.stack_batches([b2, b2], m2),
+                         base_key)
+    losses = np.asarray(mm["total_loss"])
+    assert int(s_multi.step) == 2
+    assert np.all(np.isfinite(losses))
+    assert losses[1] < losses[0]
+
+    # (b) 1-device multi-step == plain step, exactly
+    cfg1 = gcn_cfg(1)
+    state1, model1 = state_lib.init_state(cfg1, jax.random.PRNGKey(0))
+    b1 = gcn_batch(1)
+    m1 = mesh_lib.make_mesh(data=1)
+    multi1 = dp.make_dp_train_multi_step(
+        cfg1, model1.apply, tx, m1, gcn_inputs=(coords, p2v),
+        steps_per_call=2, donate=False)
+    _, mm1 = multi1(state1, dp.stack_batches([b1, b1], m1), base_key)
+
+    single = make_train_step(cfg1, model1.apply, tx,
+                             gcn_inputs=(coords, p2v), donate=False)
+    s_ref = state1
+    seq = []
+    for _ in range(2):
+        s_ref, ms = single(s_ref, {k: jnp.asarray(v)
+                                   for k, v in b1.items()}, base_key)
+        seq.append(float(ms["total_loss"]))
+    np.testing.assert_allclose(np.asarray(mm1["total_loss"]),
+                               np.asarray(seq, np.float32), rtol=1e-5)
