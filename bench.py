@@ -83,6 +83,23 @@ def main():
                   file=sys.stderr)
             fused_net = None
 
+    # Re-arm compile-sensitive flags (net_x2, roll16) iff the relay's
+    # compile backend changed since the last arming: a fingerprint
+    # match costs one file read; a mismatch costs one probe compile per
+    # flag and re-wins e.g. net_x2's measured 0.3 ms automatically.
+    if jax.default_backend() == "tpu":
+        try:
+            from matryodshka_tpu.ops import perf_probe
+            perf_probe.ensure_armed(
+                fused_net=fused_net, height=cfg.height, width=cfg.width,
+                psv_planes=cfg.num_psv_planes,
+                dtype=cfg.jnp_compute_dtype,
+                _log=lambda m: print(m, file=sys.stderr))
+        except Exception as e:  # noqa: BLE001 — never cost the metric
+            print(f"[bench] perf probe failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}) — keeping stored flags",
+                  file=sys.stderr)
+
     from matryodshka_tpu.ops import pallas_render as _pr
 
     def _make_e2e_prepared(blend_fused):
@@ -367,10 +384,85 @@ def main():
                   f"({1000.0 / tms:.2f} steps/s; "
                   f"140k steps = {tms * 140_000 / 3.6e6:.1f} h)",
                   file=sys.stderr)
+
+            # Forward-only split (VERDICT r4 item 3): the same loss,
+            # scanned with a batch data-dependency so XLA cannot hoist
+            # the loop-invariant loss out of the chain. bwd+update =
+            # full step - this; a healthy ratio is fwd*(2-3x).
+            from matryodshka_tpu.training.step import make_loss_fn
+            floss = make_loss_fn(tcfg, tmodel.apply)
+            KF = 10
+
+            @jax.jit
+            def fwd_chain(params, batch, rng):
+                def body(i, carry):
+                    b2 = dict(batch)
+                    # ~1e-20 nudge: numerically invisible, but makes
+                    # each iteration's loss depend on the previous one
+                    b2["tgt_image"] = (batch["tgt_image"]
+                                       + carry * 1e-20)
+                    loss, _ = floss(params, b2,
+                                    jax.random.fold_in(rng, i))
+                    return loss
+                return jax.lax.fori_loop(
+                    0, KF, body, jnp.float32(0.0))
+
+            fb = {k: jnp.asarray(np.asarray(v))
+                  for k, v in batch.items()}
+            jax.block_until_ready(fwd_chain(tstate.params, fb, tkey))
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd_chain(tstate.params, fb, tkey))
+            fms = (time.perf_counter() - t0) / KF * 1000.0
+            print(f"[bench] train fwd-only (pixel, scan x{KF}): "
+                  f"{fms:.1f} ms/step -> bwd+update = "
+                  f"{tms - fms:.1f} ms = {max(tms - fms, 0) / max(fms, 1e-9):.1f}x fwd",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — never cost the metric
             print(f"[bench] train-step timing unavailable "
                   f"({type(e).__name__}: {str(e)[:160]})",
                   file=sys.stderr)
+
+    # GCN forward timing (VERDICT r4 item 8): secondary metric on
+    # stderr. Only runs when the production mesh assets are already
+    # cached (generation is ~2.5 min of host CPU — never inside bench).
+    if _os.environ.get("BENCH_GCN", "1") != "0":
+        gcache = _os.path.join("glob", "train", "gcn",
+                               f"sphere7_{cfg.height}x{cfg.width}.npz")
+        if _os.path.exists(gcache):
+            try:
+                from matryodshka_tpu.training import state as _sl
+                gcfg = cfg.replace(gcn=True, subdiv=7)
+                gstate, gmodel = _sl.init_state(gcfg,
+                                                jax.random.PRNGKey(0))
+                _, gcoords, gp2v = _sl.build_gcn(gcfg)
+
+                @jax.jit
+                def gcn_fwd_chain(params, batch):
+                    def body(_, ref):
+                        b2 = dict(batch)
+                        b2["ref_image"] = ref
+                        outs = msi_lib.infer_gcn_msi(
+                            lambda p, x: gmodel.apply(p, x), params,
+                            gcfg, b2, psv_depths, gcoords, gp2v)
+                        dep = outs["rgba_layers"].astype(
+                            jnp.float32).mean() * 1e-6
+                        return jnp.clip(ref * 0.999 + dep, 0.0, 1.0)
+                    return jax.lax.fori_loop(0, CHAIN, body,
+                                             batch["ref_image"])
+
+                gms = timeit(gcn_fwd_chain, gstate.params, batch,
+                             iters=3, chain=CHAIN)
+                print(f"[bench] gcn forward (subdiv7, "
+                      f"{cfg.width}x{cfg.height}x"
+                      f"{cfg.num_psv_planes}): {gms:.2f} ms",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — never cost the metric
+                print(f"[bench] gcn timing unavailable "
+                      f"({type(e).__name__}: {str(e)[:160]})",
+                      file=sys.stderr)
+        else:
+            print(f"[bench] gcn timing skipped (no mesh cache at "
+                  f"{gcache})", file=sys.stderr)
 
     fps = 1000.0 / ms_e2e
     print(json.dumps({
