@@ -35,15 +35,24 @@ def build_elpips_fn(cfg: MatryConfig, static_scale_swap=None,
 
 def build_host_scale_step(cfg: MatryConfig, model_apply, tx, mesh,
                           steps_per_call: int = 1, _metric=None,
-                          gcn_inputs=None):
+                          gcn_inputs=None, max_programs: int = 4):
     """A train_step(state, batch, rng) that draws the E-LPIPS ensemble's
     (scale, swap) on the HOST per dispatch and routes to one cached
     jitted step per combination (single-branch grad path — the in-graph
     16-way lax.switch backward measured 16.7 s/step on TPU, STATUS r4).
 
-    With steps_per_call > 1, the K scanned steps of one dispatch share
-    one (scale, swap) draw; every other ensemble draw (offsets, flips,
-    colors, dropout) still varies per step in-graph off state.step."""
+    With steps_per_call > 1, each of the K chained steps gets its OWN
+    host-drawn (scale, swap) — the reference's per-step ensemble
+    distribution (elpips.py:59-118) — by compiling an UNROLLED K-step
+    program per drawn K-tuple (dp.make_dp_train_multi_step elpips_fns).
+    Compile cost is bounded by `max_programs`: the first draws populate
+    a pool of iid reference-distributed K-tuples; once full, dispatches
+    sample uniformly from the pool. Pool tuples are themselves iid from
+    the product distribution, so reuse keeps every step's marginal
+    (scale, swap) distribution exactly the reference's in expectation
+    over the pool draw; only cross-window repetition is introduced.
+    Every other ensemble draw (offsets, flips, colors, dropout) still
+    varies per step in-graph off state.step."""
     from matryodshka_tpu.losses.elpips import api as elpips_api
     from matryodshka_tpu.parallel import dp
 
@@ -53,21 +62,33 @@ def build_host_scale_step(cfg: MatryConfig, model_apply, tx, mesh,
     host_rng = np.random.RandomState(cfg.random_seed + 1)
     cache = {}
 
+    def draw():
+        return elpips_api.sample_scale_swap_host(host_rng,
+                                                 metric.config)
+
     def step(state, batch, rng):
-        ss = elpips_api.sample_scale_swap_host(host_rng, metric.config)
-        if ss not in cache:
-            e_fn = build_elpips_fn(cfg, static_scale_swap=ss,
-                                   _metric=metric)
-            if steps_per_call > 1:
-                cache[ss] = dp.make_dp_train_multi_step(
-                    cfg, model_apply, tx, mesh, elpips_fn=e_fn,
-                    gcn_inputs=gcn_inputs,
-                    steps_per_call=steps_per_call)
+        if steps_per_call > 1:
+            if len(cache) < max_programs:
+                key = tuple(draw() for _ in range(steps_per_call))
+                if key not in cache:
+                    e_fns = [build_elpips_fn(cfg, static_scale_swap=ss,
+                                             _metric=metric)
+                             for ss in key]
+                    cache[key] = dp.make_dp_train_multi_step(
+                        cfg, model_apply, tx, mesh,
+                        elpips_fns=e_fns, gcn_inputs=gcn_inputs,
+                        steps_per_call=steps_per_call)
             else:
-                cache[ss] = dp.make_dp_train_step(
+                key = list(cache)[host_rng.randint(len(cache))]
+        else:
+            key = draw()
+            if key not in cache:
+                e_fn = build_elpips_fn(cfg, static_scale_swap=key,
+                                       _metric=metric)
+                cache[key] = dp.make_dp_train_step(
                     cfg, model_apply, tx, mesh, elpips_fn=e_fn,
                     gcn_inputs=gcn_inputs)
-        return cache[ss](state, batch, rng)
+        return cache[key](state, batch, rng)
 
     return step
 

@@ -116,6 +116,7 @@ def make_dp_train_multi_step(cfg: MatryConfig, model_apply: Callable, tx,
                              elpips_fn: Optional[Callable] = None,
                              gcn_inputs=None,
                              steps_per_call: int = 1,
+                             elpips_fns=None,
                              donate: bool = True) -> Callable:
     """Jitted multi_step(state, stacked_batch, rng): `steps_per_call`
     production train steps chained on-device via lax.scan in ONE
@@ -129,18 +130,43 @@ def make_dp_train_multi_step(cfg: MatryConfig, model_apply: Callable, tx,
     — the scanned body is a different XLA program). Metrics come back
     stacked [steps_per_call] per scalar.
 
+    elpips_fns: optional sequence of `steps_per_call` per-step loss
+    callables (cli/train.py host-scale path: each closes over its own
+    static E-LPIPS (scale, swap) draw, matching the reference's
+    per-step ensemble distribution — elpips.py:59-118). The K bodies
+    then differ as XLA programs, so the chain UNROLLS instead of
+    scanning: compile time grows ~K-fold, which is why the caller
+    bounds the number of distinct programs (build_host_scale_step's
+    tuple pool). Mutually exclusive with elpips_fn.
+
     Why: per-dispatch overhead (and, through a remote-TPU relay,
     multi-second host<->device pathologies — tools/train_probe2.py)
     is amortized over K steps; the device runs steps back-to-back.
     """
     ndata = _data_size(mesh)
-    one_step = _make_one_step(cfg, model_apply, tx, ndata, elpips_fn,
-                              gcn_inputs=gcn_inputs)
+    if elpips_fns is not None:
+        assert elpips_fn is None and len(elpips_fns) == steps_per_call
+        one_steps = [_make_one_step(cfg, model_apply, tx, ndata, f,
+                                    gcn_inputs=gcn_inputs)
+                     for f in elpips_fns]
 
-    def multi_step(state: TrainState, batches: Dict, rng: jax.Array):
-        def body(s, b):
-            return one_step(s, b, rng)
-        return jax.lax.scan(body, state, batches)
+        def multi_step(state: TrainState, batches: Dict,
+                       rng: jax.Array):
+            s, metrics = state, []
+            for i, osf in enumerate(one_steps):
+                b = jax.tree.map(lambda x, i=i: x[i], batches)
+                s, m = osf(s, b, rng)
+                metrics.append(m)
+            return s, jax.tree.map(lambda *ms: jnp.stack(ms), *metrics)
+    else:
+        one_step = _make_one_step(cfg, model_apply, tx, ndata,
+                                  elpips_fn, gcn_inputs=gcn_inputs)
+
+        def multi_step(state: TrainState, batches: Dict,
+                       rng: jax.Array):
+            def body(s, b):
+                return one_step(s, b, rng)
+            return jax.lax.scan(body, state, batches)
 
     dn = (0,) if donate else ()
     if _single_device(mesh):

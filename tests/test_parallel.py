@@ -272,3 +272,78 @@ def test_gcn_dp_multi_step(tmp_path):
         seq.append(float(ms["total_loss"]))
     np.testing.assert_allclose(np.asarray(mm1["total_loss"]),
                                np.asarray(seq, np.float32), rtol=1e-5)
+
+
+def test_host_scale_per_step_draws_multi_step():
+    """With steps_per_call>1 the host-scale builder gives each inner
+    step its OWN (scale, swap) draw via an unrolled program (VERDICT r4
+    item 4): (a) the unrolled chain with per-step elpips fns matches
+    the same draws applied by sequential single steps; (b) the program
+    pool is bounded by max_programs and reused afterwards."""
+    import warnings
+
+    from matryodshka_tpu.cli.train import (build_elpips_fn,
+                                           build_host_scale_step)
+    from matryodshka_tpu.losses.elpips import api as elpips_api
+
+    cfg = tiny_cfg(batch_size=1, which_loss="elpips")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ecfg = elpips_api.elpips_vgg(batch_size=1)
+        ecfg.num_scales = 2  # keep branches tiny-image-safe
+        metric = elpips_api.Metric(ecfg)
+
+    state, model = state_lib.init_state(cfg, jax.random.PRNGKey(0))
+    tx = state_lib.build_optimizer(cfg)
+    m = mesh_lib.make_mesh(data=1)
+    batch = {k: np.asarray(v) for k, v in synthetic_batch(cfg).items()}
+    key = jax.random.PRNGKey(1)
+
+    # (a) numeric parity: unrolled per-step fns == sequential singles
+    draws = [(1, False), (2, True)]
+    e_fns = [build_elpips_fn(cfg, static_scale_swap=ss, _metric=metric)
+             for ss in draws]
+    multi = dp.make_dp_train_multi_step(
+        cfg, model.apply, tx, m, elpips_fns=e_fns, steps_per_call=2,
+        donate=False)
+    s_multi, mm = multi(state, dp.stack_batches([batch, batch], m), key)
+    assert int(s_multi.step) == 2
+    losses = np.asarray(mm["total_loss"])
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))
+
+    s_ref = state
+    seq = []
+    for ss in draws:
+        single = dp.make_dp_train_step(
+            cfg, model.apply, tx, m,
+            elpips_fn=build_elpips_fn(cfg, static_scale_swap=ss,
+                                      _metric=metric), donate=False)
+        s_ref, ms = single(s_ref, dp.shard_batch(batch, m), key)
+        seq.append(float(ms["total_loss"]))
+    np.testing.assert_allclose(losses, np.asarray(seq, np.float32),
+                               rtol=1e-5)
+
+    # (b) pool bounding: distinct K-tuples until max_programs, then
+    # reuse without new compiles
+    made = []
+    orig = dp.make_dp_train_multi_step
+
+    def spy(*a, **kw):
+        made.append(kw.get("elpips_fns"))
+        return orig(*a, **kw)
+
+    dp.make_dp_train_multi_step = spy
+    try:
+        step = build_host_scale_step(cfg, model.apply, tx, m,
+                                     steps_per_call=2, _metric=metric,
+                                     max_programs=2)
+        sb = dp.stack_batches([batch, batch], m)
+        s = state
+        for _ in range(5):
+            s, mm = step(s, sb, key)
+            assert np.all(np.isfinite(np.asarray(mm["total_loss"])))
+    finally:
+        dp.make_dp_train_multi_step = orig
+    assert 1 <= len(made) <= 2
+    assert all(fns is not None and len(fns) == 2 for fns in made)
+    assert int(s.step) == 10
