@@ -298,7 +298,8 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None,
-                         parts: str = "all", vtap: bool = False):
+                         parts: str = "all", vtap: bool = False,
+                         dyn_m: bool = False):
     """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
     _render_kernel -- wide rolls are the efficient form, measured 1.78
     cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
@@ -438,6 +439,32 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                               * (dk[:, c0:c0 + wb] == kf + 1.0))
                     else:
                         ch = fx[:, c0:c0 + wb]
+                    if dyn_m:
+                        # perf_flags "dyn_m": a runtime-sized fori over
+                        # the tile's ACTUAL vertical-tap range with a
+                        # dynamic sublane slice of the rolled band,
+                        # replacing the 2*kv_max+2-level static
+                        # @pl.when cascade — the cascade's scalar
+                        # branch tests dominate the ladder's non-roll
+                        # overhead (r4 parts split: 2.06 ms of branch+
+                        # coef machinery vs 0.24 ms of tap FMA). Same
+                        # ascending-m visit order => bit-identical
+                        # accumulation.
+                        def m_body(m, _, t=t, ch=ch):
+                            c0 = t * wb
+                            coef = ch * cvs_ref[
+                                pl.ds(m + kv_max, 1), :,
+                                c0:c0 + wb][0]
+                            tap = rolled_ref[
+                                :, pl.ds(band_lead + m, row_block),
+                                c0:c0 + wb]
+                            acc_ref[:, :, c0:c0 + wb] = (
+                                acc_ref[:, :, c0:c0 + wb]
+                                + (coef[None] * tap).astype(
+                                    acc_ref.dtype))
+                            return 0
+                        jax.lax.fori_loop(tmlo, tmhi + 2, m_body, 0)
+                        return
                     for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                         @pl.when((m >= tmlo) & (m <= tmhi + 1))
                         def _(mi=mi, m=m, t=t, ch=ch):
@@ -507,7 +534,7 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                        band_ref, rolled_ref, cvs_ref, acc_ref, t_ref,
                        copy_sem, *, width: int, wb: int, cap: int,
                        row_block: int, kh_max: int, kv_max: int,
-                       planes: int, eps: float):
+                       planes: int, eps: float, dyn_m: bool = False):
     """Block-major FRONT-TO-BACK ladder with early ray termination.
 
     Grid (NBLK,): each program renders one row block across ALL shells,
@@ -610,6 +637,29 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                               * (dk[:, c0:c0 + wbw] == kf)
                               + fx[:, c0:c0 + wbw]
                               * (dk[:, c0:c0 + wbw] == kf + 1.0))
+                        if dyn_m:
+                            # perf_flags "dyn_m": runtime-sized m loop
+                            # + dynamic sublane band slice instead of
+                            # the static @pl.when cascade (see
+                            # _render_kernel_tiled). Bit-identical
+                            # ascending-m accumulation.
+                            def m_body(m, _, t=t, ch=ch):
+                                c0 = t * wbw
+                                coef = ch * cvs_ref[
+                                    pl.ds(m + kv_max, 1), :,
+                                    c0:c0 + wbw][0]
+                                tap = rolled_ref[
+                                    :, pl.ds(band_lead + m,
+                                             row_block),
+                                    c0:c0 + wbw]
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + (coef[None] * tap).astype(
+                                        acc_ref.dtype))
+                                return 0
+                            jax.lax.fori_loop(tmlo, tmhi + 2,
+                                              m_body, 0)
+                            return
                         for mi, m in enumerate(range(-kv_max,
                                                      kv_max + 2)):
                             @pl.when((m >= tmlo) & (m <= tmhi + 1))
@@ -678,7 +728,7 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                         width: int, wb: int, cap: int, row_block: int,
                         kh_max: int, kv_max: int, planes: int,
                         eps: float, vpad: int, depth: bool = False,
-                        vtap: bool = False):
+                        vtap: bool = False, dyn_m: bool = False):
     """FTB ladder with the ASSEMBLE BLEND fused in (blend_psv scheme).
 
     depth=True renders the depth proxy instead: rgb is the constant
@@ -872,6 +922,29 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                               * (dk[:, c0:c0 + wbw] == kf)
                               + fx[:, c0:c0 + wbw]
                               * (dk[:, c0:c0 + wbw] == kf + 1.0))
+                        if dyn_m:
+                            # perf_flags "dyn_m": runtime-sized m loop
+                            # + dynamic sublane band slice instead of
+                            # the static @pl.when cascade (see
+                            # _render_kernel_tiled). Bit-identical
+                            # ascending-m accumulation.
+                            def m_body(m, _, t=t, ch=ch):
+                                c0 = t * wbw
+                                coef = ch * cvs_ref[
+                                    pl.ds(m + kv_max, 1), :,
+                                    c0:c0 + wbw][0]
+                                tap = rolled_ref[
+                                    :, pl.ds(band_lead + m,
+                                             row_block),
+                                    c0:c0 + wbw]
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + (coef[None] * tap).astype(
+                                        acc_ref.dtype))
+                                return 0
+                            jax.lax.fori_loop(tmlo, tmhi + 2,
+                                              m_body, 0)
+                            return
                         for mi, m in enumerate(range(-kv_max,
                                                      kv_max + 2)):
                             @pl.when((m >= tmlo) & (m <= tmhi + 1))
@@ -937,7 +1010,7 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                                              "kv_max", "wb", "eps",
                                              "vpad", "depth",
                                              "interpret", "vtap",
-                                             "roll16"))
+                                             "roll16", "dyn_m"))
 def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             u: Array, v: Array, cap: int,
                             row_block: int, kh_max: int, kv_max: int,
@@ -945,7 +1018,8 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             vpad: int = 0, depth: bool = False,
                             interpret: bool = False,
                             vtap: bool = None,
-                            roll16: bool = None) -> Array:
+                            roll16: bool = None,
+                            dyn_m: bool = None) -> Array:
     """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
     flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
     flipped row-major net output (blend_psv layout: blend ch p, alpha
@@ -1011,7 +1085,7 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
         functools.partial(_render_kernel_ftbb, width=w, wb=wb, cap=cap,
                           row_block=row_block, kh_max=kh_max,
                           kv_max=kv_max, planes=p, eps=eps, vpad=vpad,
-                          depth=depth, vtap=vtap),
+                          depth=depth, vtap=vtap, dyn_m=bool(dyn_m)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -1046,7 +1120,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
                            wb="auto", depth: bool = False,
                            interpret: bool = False,
                            vtap: bool = None,
-                           roll16: bool = None) -> Array:
+                           roll16: bool = None,
+                           dyn_m: bool = None) -> Array:
     """Blend-fused FTB mid render from the sweep kernel's planar
     volumes + the net's flipped row-major prediction (blend_psv).
     fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
@@ -1065,7 +1140,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
         cap, row_block, kh_max, kv_max, wb=wb, eps=FTB_EPS,
         vpad=vpad, depth=depth, interpret=interpret,
         vtap=DEFAULT_VTAP if vtap is None else vtap,
-        roll16=DEFAULT_ROLL16 if roll16 is None else roll16)
+        roll16=DEFAULT_ROLL16 if roll16 is None else roll16,
+        dyn_m=DEFAULT_DYN_M if dyn_m is None else dyn_m)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1137,14 +1213,16 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret",
-                                             "parts", "vtap", "roll16"))
+                                             "parts", "vtap", "roll16",
+                                             "dyn_m"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
                           interpret: bool = False,
                           parts: str = "all",
                           vtap: bool = None,
-                          roll16: bool = None) -> Array:
+                          roll16: bool = None,
+                          dyn_m: bool = None) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1207,7 +1285,8 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
         kern = functools.partial(_render_kernel_tiled, h_mid=hm, width=w,
                                  wb=wb, cap=cap, row_block=row_block,
                                  kh_max=kh_max, kv_max=kv_max,
-                                 parts=parts, vtap=vtap)
+                                 parts=parts, vtap=vtap,
+                                 dyn_m=bool(dyn_m))
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1361,7 +1440,8 @@ FTB_EPS = 1e-6
 # The complete set of keys perf_flags.json may carry. Anything else is
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
-PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap", "roll16"})
+PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap",
+                              "roll16", "dyn_m"})
 
 
 def _read_perf_flags(path=None):
@@ -1432,6 +1512,12 @@ DEFAULT_VTAP = bool(_PERF_FLAGS.get("vtap", False))
 # A/B (tools/r4_hw_session.py, "roll16").
 DEFAULT_ROLL16 = bool(_PERF_FLAGS.get("roll16", False))
 
+#: runtime-sized vertical-tap loop (dynamic sublane band slice) instead
+#: of the static 2*kv_max+2-level @pl.when cascade in the ladder rungs.
+#: Backend-sensitive (dynamic sublane starts) AND a measured A/B —
+#: armed by the hardware session, validated by ops.perf_probe.
+DEFAULT_DYN_M = bool(_PERF_FLAGS.get("dyn_m", False))
+
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                         row_block: int = ROW_BLOCK,
@@ -1479,7 +1565,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     fn = _ladder_render_mid_ftb if ftb else _ladder_render_mid_uv
     kw = ({"eps": FTB_EPS} if ftb
           else {"vtap": DEFAULT_VTAP if vtap is None else vtap,
-                "roll16": DEFAULT_ROLL16 if roll16 is None else roll16})
+                "roll16": DEFAULT_ROLL16 if roll16 is None else roll16,
+                "dyn_m": DEFAULT_DYN_M})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

@@ -103,6 +103,32 @@ def _probe_roll16(height: int, width: int, psv_planes: int) -> bool:
         return False
 
 
+def _probe_dyn_m(height: int, width: int, psv_planes: int) -> bool:
+    """Compile the tiled ladder with the runtime-sized vertical-tap
+    loop (dynamic sublane band slices are the backend-sensitive
+    piece)."""
+    cap, rb = pallas_render.CAP_ROWS, pallas_render.ROW_BLOCK
+    kh, kv = pallas_render.default_bounds(height, width, cap)
+    _, _, pad = pallas_render._band_geometry(cap, rb, kv)
+    hm = height - 2 * cap
+    layers = jnp.zeros((psv_planes, 4, height + 2 * pad, width),
+                       jnp.float32)
+    u = jnp.tile(
+        (width - 1.0)
+        - jax.lax.broadcasted_iota(jnp.float32, (1, hm, width), 2),
+        (psv_planes, 1, 1))
+    v = jnp.tile(
+        jax.lax.broadcasted_iota(jnp.float32, (1, hm, width), 1) + cap,
+        (psv_planes, 1, 1))
+    try:
+        jax.block_until_ready(pallas_render._ladder_render_mid_uv(
+            layers, u, v, cap, rb, kh, kv,
+            wb=pallas_render.default_wb(width), dyn_m=True))
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _refresh_module_globals(flags: dict) -> None:
     """Point the already-imported flag bindings at the new values so
     arming takes effect in-process (pallas_net reads _PERF_FLAGS at
@@ -113,6 +139,7 @@ def _refresh_module_globals(flags: dict) -> None:
     pallas_render.DEFAULT_FTBB = bool(flags.get("ftbb", False))
     pallas_render.DEFAULT_VTAP = bool(flags.get("vtap", False))
     pallas_render.DEFAULT_ROLL16 = bool(flags.get("roll16", False))
+    pallas_render.DEFAULT_DYN_M = bool(flags.get("dyn_m", False))
 
 
 def ensure_armed(fused_net=None, height: int = 320, width: int = 640,
@@ -146,6 +173,13 @@ def ensure_armed(fused_net=None, height: int = 320, width: int = 640,
     flags["roll16"] = _probe_roll16(height, width, psv_planes)
     _log(f"[perf_probe] roll16: "
          f"{'armed' if flags['roll16'] else 'rejected by backend'}")
+    # dyn_m is a measured A/B (the hardware session arms it), but its
+    # dynamic sublane slices are also backend-sensitive: VALIDATE a
+    # stored-true value on the new backend, disarm if rejected.
+    if flags.get("dyn_m"):
+        flags["dyn_m"] = _probe_dyn_m(height, width, psv_planes)
+        _log(f"[perf_probe] dyn_m: "
+             f"{'kept armed' if flags['dyn_m'] else 'rejected by new backend — disarmed'}")
     flags["_backend"] = fp
 
     if write:

@@ -245,3 +245,68 @@ def test_blend_fused_supported_production_geometry():
     assert pallas_render.blend_fused_supported(512, 1024)
     # too-short mid section: must decline, not crash
     assert not pallas_render.blend_fused_supported(32, 640)
+
+
+def test_dyn_m_rung_form_is_bit_exact():
+    """dyn_m (perf_flags): the runtime-sized vertical-tap fori with a
+    dynamic sublane band slice must be BIT-equal to the static @pl.when
+    cascade — identical taps, identical ascending-m add order."""
+    Hc, Wc, Pc, CAP, RB = 96, 256, 8, 16, 32
+    rng = np.random.RandomState(9)
+    rgba = jnp.asarray(np.asarray(rng.rand(Hc, Wc, Pc, 4), np.float32))
+    kh, kv = pallas_render.default_bounds(Hc, Wc, CAP)
+    lay = pallas_render.prepare_layers(rgba, CAP, RB, kv)
+    hm = Hc - 2 * CAP
+    j = np.arange(Wc)[None, None, :]
+    i = np.arange(hm)[None, :, None] + CAP
+    du = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    dv = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    u = jnp.asarray(((Wc - 1) - j - du).astype(np.float32))
+    v = jnp.asarray((i + dv).astype(np.float32))
+    ref = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh,
+                                              kv, wb=128,
+                                              interpret=True)
+    got = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh,
+                                              kv, wb=128,
+                                              interpret=True,
+                                              dyn_m=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dyn_m_ftbb_is_bit_exact():
+    """dyn_m in the production blend-fused FTB kernel: bit-equal to the
+    cascade form on the same volumes/prediction."""
+    Hc, Wc, Pc, CAP, RB = 96, 256, 8, 16, 32
+    rng = np.random.RandomState(10)
+    kh, kv = pallas_render.default_bounds(Hc, Wc, CAP)
+    _, _, pad = pallas_render._band_geometry(CAP, RB, kv)
+    fgP = jnp.asarray(np.asarray(
+        rng.rand(Pc, 3, Hc + 2 * pad, Wc), np.float32))
+    bgP = jnp.asarray(np.asarray(
+        rng.rand(Pc, 3, Hc + 2 * pad, Wc), np.float32))
+    pred = jnp.asarray(np.asarray(
+        rng.rand(Hc, 2 * Pc, Wc) * 2 - 1, np.float32))
+    hm = Hc - 2 * CAP
+    j = np.arange(Wc)[None, None, :]
+    i = np.arange(hm)[None, :, None] + CAP
+    du = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    dv = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    u = np.broadcast_to(((Wc - 1) - j - du), (Pc, hm, Wc))
+    v = np.broadcast_to((i + dv), (Pc, hm, Wc))
+    # full-height uv as render_mid_fused_blend slices the mid rows
+    uf = np.zeros((Pc, Hc, Wc), np.float32)
+    vf = np.zeros((Pc, Hc, Wc), np.float32)
+    uf[:, CAP:Hc - CAP] = u
+    vf[:, CAP:Hc - CAP] = v
+    uf[:, :CAP] = u[:, :1]
+    uf[:, Hc - CAP:] = u[:, -1:]
+    vf[:, :CAP] = v[:, :1]
+    vf[:, Hc - CAP:] = v[:, -1:]
+    args = (fgP, bgP, pred, jnp.asarray(uf), jnp.asarray(vf), pad)
+    ref = pallas_render.render_mid_fused_blend(
+        *args, cap=CAP, row_block=RB, kh_max=kh, kv_max=kv,
+        interpret=True, dyn_m=False)
+    got = pallas_render.render_mid_fused_blend(
+        *args, cap=CAP, row_block=RB, kh_max=kh, kv_max=kv,
+        interpret=True, dyn_m=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
