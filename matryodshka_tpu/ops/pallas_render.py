@@ -299,7 +299,7 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None,
                          parts: str = "all", vtap: bool = False,
-                         dyn_m: bool = False):
+                         dyn_m: bool = False, mpair: bool = False):
     """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
     _render_kernel -- wide rolls are the efficient form, measured 1.78
     cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
@@ -383,8 +383,13 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
         gmhi = functools.reduce(jnp.maximum, [m[1] for _, m in bounds])
 
         if do_rungs:
+            # mpair widens the written range by one level each side: a
+            # pair region may touch the partner level just outside
+            # [gmlo, gmhi+1]; its coefficient is exactly zero there but
+            # the cvs slot must hold that zero, not a stale block's.
+            mwid = 1 if mpair else 0
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                @pl.when((m >= gmlo - mwid) & (m <= gmhi + 1 + mwid))
                 def _(mi=mi, m=m):
                     cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
                                          + fy * (dy == m - 1))
@@ -465,6 +470,41 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                             return 0
                         jax.lax.fori_loop(tmlo, tmhi + 2, m_body, 0)
                         return
+                    if mpair:
+                        # perf_flags "mpair": two vertical-tap levels
+                        # per predicated region — halves the cascade's
+                        # scalar branch tests (the ladder's dominant
+                        # non-roll overhead, r4 parts split). A pair
+                        # member outside [tmlo, tmhi+1] contributes an
+                        # EXACTLY-zero coefficient at this tile's
+                        # columns (dy never hits it), so results match
+                        # the cascade to f32 association.
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            if mi % 2:
+                                continue
+
+                            @pl.when((m + 1 >= tmlo) & (m <= tmhi + 1))
+                            def _(mi=mi, m=m, t=t, ch=ch):
+                                c0 = t * wb
+                                coef0 = ch * cvs_ref[mi, :,
+                                                     c0:c0 + wb]
+                                tap0 = rolled_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wb]
+                                coef1 = ch * cvs_ref[mi + 1, :,
+                                                     c0:c0 + wb]
+                                tap1 = rolled_ref[
+                                    :, band_lead + m + 1:
+                                    band_lead + m + 1 + row_block,
+                                    c0:c0 + wb]
+                                acc_ref[:, :, c0:c0 + wb] = (
+                                    acc_ref[:, :, c0:c0 + wb]
+                                    + (coef0[None] * tap0
+                                       + coef1[None] * tap1).astype(
+                                           acc_ref.dtype))
+                        return
                     for mi, m in enumerate(range(-kv_max, kv_max + 2)):
                         @pl.when((m >= tmlo) & (m <= tmhi + 1))
                         def _(mi=mi, m=m, t=t, ch=ch):
@@ -534,7 +574,8 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                        band_ref, rolled_ref, cvs_ref, acc_ref, t_ref,
                        copy_sem, *, width: int, wb: int, cap: int,
                        row_block: int, kh_max: int, kv_max: int,
-                       planes: int, eps: float, dyn_m: bool = False):
+                       planes: int, eps: float, dyn_m: bool = False,
+                       mpair: bool = False):
     """Block-major FRONT-TO-BACK ladder with early ray termination.
 
     Grid (NBLK,): each program renders one row block across ALL shells,
@@ -616,8 +657,12 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                 jnp.where(talive[t], bounds[t][1][1], -big)
                 for t in range(nt)])
 
+            # mpair: widen the written range one level each side (the
+            # pair regions read the partner level's zero coefficient —
+            # see _render_kernel_tiled).
+            mwid = 1 if mpair else 0
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                @pl.when((m >= gmlo - mwid) & (m <= gmhi + 1 + mwid))
                 def _(mi=mi, m=m):
                     cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
                                          + fy * (dy == m - 1))
@@ -659,6 +704,37 @@ def _render_kernel_ftb(kt_ref, mt_ref, layer_hbm, u_ref, v_ref, out_ref,
                                 return 0
                             jax.lax.fori_loop(tmlo, tmhi + 2,
                                               m_body, 0)
+                            return
+                        if mpair:
+                            # perf_flags "mpair": two tap levels per
+                            # region (see _render_kernel_tiled).
+                            for mi, m in enumerate(range(-kv_max,
+                                                         kv_max + 2)):
+                                if mi % 2:
+                                    continue
+
+                                @pl.when((m + 1 >= tmlo)
+                                         & (m <= tmhi + 1))
+                                def _(mi=mi, m=m, t=t, ch=ch):
+                                    c0 = t * wbw
+                                    coef0 = ch * cvs_ref[
+                                        mi, :, c0:c0 + wbw]
+                                    tap0 = rolled_ref[
+                                        :, band_lead + m:
+                                        band_lead + m + row_block,
+                                        c0:c0 + wbw]
+                                    coef1 = ch * cvs_ref[
+                                        mi + 1, :, c0:c0 + wbw]
+                                    tap1 = rolled_ref[
+                                        :, band_lead + m + 1:
+                                        band_lead + m + 1
+                                        + row_block,
+                                        c0:c0 + wbw]
+                                    acc_ref[:, :, c0:c0 + wbw] = (
+                                        acc_ref[:, :, c0:c0 + wbw]
+                                        + (coef0[None] * tap0
+                                           + coef1[None] * tap1
+                                           ).astype(acc_ref.dtype))
                             return
                         for mi, m in enumerate(range(-kv_max,
                                                      kv_max + 2)):
@@ -728,7 +804,8 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                         width: int, wb: int, cap: int, row_block: int,
                         kh_max: int, kv_max: int, planes: int,
                         eps: float, vpad: int, depth: bool = False,
-                        vtap: bool = False, dyn_m: bool = False):
+                        vtap: bool = False, dyn_m: bool = False,
+                        mpair: bool = False):
     """FTB ladder with the ASSEMBLE BLEND fused in (blend_psv scheme).
 
     depth=True renders the depth proxy instead: rgb is the constant
@@ -865,8 +942,12 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                 jnp.where(talive[t], bounds[t][1][1], -big)
                 for t in range(nt)])
 
+            # mpair: widen the written range one level each side (the
+            # pair regions read the partner level's zero coefficient —
+            # see _render_kernel_tiled).
+            mwid = 1 if mpair else 0
             for mi, m in enumerate(range(-kv_max, kv_max + 2)):
-                @pl.when((m >= gmlo) & (m <= gmhi + 1))
+                @pl.when((m >= gmlo - mwid) & (m <= gmhi + 1 + mwid))
                 def _(mi=mi, m=m):
                     cvs_ref[mi, :, :] = ((1.0 - fy) * (dy == m)
                                          + fy * (dy == m - 1))
@@ -945,6 +1026,37 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                             jax.lax.fori_loop(tmlo, tmhi + 2,
                                               m_body, 0)
                             return
+                        if mpair:
+                            # perf_flags "mpair": two tap levels per
+                            # region (see _render_kernel_tiled).
+                            for mi, m in enumerate(range(-kv_max,
+                                                         kv_max + 2)):
+                                if mi % 2:
+                                    continue
+
+                                @pl.when((m + 1 >= tmlo)
+                                         & (m <= tmhi + 1))
+                                def _(mi=mi, m=m, t=t, ch=ch):
+                                    c0 = t * wbw
+                                    coef0 = ch * cvs_ref[
+                                        mi, :, c0:c0 + wbw]
+                                    tap0 = rolled_ref[
+                                        :, band_lead + m:
+                                        band_lead + m + row_block,
+                                        c0:c0 + wbw]
+                                    coef1 = ch * cvs_ref[
+                                        mi + 1, :, c0:c0 + wbw]
+                                    tap1 = rolled_ref[
+                                        :, band_lead + m + 1:
+                                        band_lead + m + 1
+                                        + row_block,
+                                        c0:c0 + wbw]
+                                    acc_ref[:, :, c0:c0 + wbw] = (
+                                        acc_ref[:, :, c0:c0 + wbw]
+                                        + (coef0[None] * tap0
+                                           + coef1[None] * tap1
+                                           ).astype(acc_ref.dtype))
+                            return
                         for mi, m in enumerate(range(-kv_max,
                                                      kv_max + 2)):
                             @pl.when((m >= tmlo) & (m <= tmhi + 1))
@@ -1010,7 +1122,8 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                                              "kv_max", "wb", "eps",
                                              "vpad", "depth",
                                              "interpret", "vtap",
-                                             "roll16", "dyn_m"))
+                                             "roll16", "dyn_m",
+                                             "mpair"))
 def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             u: Array, v: Array, cap: int,
                             row_block: int, kh_max: int, kv_max: int,
@@ -1019,7 +1132,8 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             interpret: bool = False,
                             vtap: bool = None,
                             roll16: bool = None,
-                            dyn_m: bool = None) -> Array:
+                            dyn_m: bool = None,
+                            mpair: bool = None) -> Array:
     """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
     flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
     flipped row-major net output (blend_psv layout: blend ch p, alpha
@@ -1085,7 +1199,8 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
         functools.partial(_render_kernel_ftbb, width=w, wb=wb, cap=cap,
                           row_block=row_block, kh_max=kh_max,
                           kv_max=kv_max, planes=p, eps=eps, vpad=vpad,
-                          depth=depth, vtap=vtap, dyn_m=bool(dyn_m)),
+                          depth=depth, vtap=vtap, dyn_m=bool(dyn_m),
+                          mpair=bool(mpair)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -1121,7 +1236,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
                            interpret: bool = False,
                            vtap: bool = None,
                            roll16: bool = None,
-                           dyn_m: bool = None) -> Array:
+                           dyn_m: bool = None,
+                           mpair: bool = None) -> Array:
     """Blend-fused FTB mid render from the sweep kernel's planar
     volumes + the net's flipped row-major prediction (blend_psv).
     fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
@@ -1141,7 +1257,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
         vpad=vpad, depth=depth, interpret=interpret,
         vtap=DEFAULT_VTAP if vtap is None else vtap,
         roll16=DEFAULT_ROLL16 if roll16 is None else roll16,
-        dyn_m=DEFAULT_DYN_M if dyn_m is None else dyn_m)
+        dyn_m=DEFAULT_DYN_M if dyn_m is None else dyn_m,
+        mpair=DEFAULT_MPAIR if mpair is None else mpair)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1214,7 +1331,7 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret",
                                              "parts", "vtap", "roll16",
-                                             "dyn_m"))
+                                             "dyn_m", "mpair"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
@@ -1222,7 +1339,8 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           parts: str = "all",
                           vtap: bool = None,
                           roll16: bool = None,
-                          dyn_m: bool = None) -> Array:
+                          dyn_m: bool = None,
+                          mpair: bool = None) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1286,7 +1404,7 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                                  wb=wb, cap=cap, row_block=row_block,
                                  kh_max=kh_max, kv_max=kv_max,
                                  parts=parts, vtap=vtap,
-                                 dyn_m=bool(dyn_m))
+                                 dyn_m=bool(dyn_m), mpair=bool(mpair))
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1441,7 +1559,7 @@ FTB_EPS = 1e-6
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
 PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap",
-                              "roll16", "dyn_m"})
+                              "roll16", "dyn_m", "mpair"})
 
 
 def _read_perf_flags(path=None):
@@ -1518,6 +1636,12 @@ DEFAULT_ROLL16 = bool(_PERF_FLAGS.get("roll16", False))
 #: armed by the hardware session, validated by ops.perf_probe.
 DEFAULT_DYN_M = bool(_PERF_FLAGS.get("dyn_m", False))
 
+#: two vertical-tap levels per predicated region in the ladder rungs —
+#: halves the m-cascade's scalar branch tests for one (usually zero-
+#: coefficient) extra FMA level per tile. Measured A/B (hardware
+#: session); static constructs, compiles everywhere.
+DEFAULT_MPAIR = bool(_PERF_FLAGS.get("mpair", False))
+
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                         row_block: int = ROW_BLOCK,
@@ -1566,7 +1690,7 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     kw = ({"eps": FTB_EPS} if ftb
           else {"vtap": DEFAULT_VTAP if vtap is None else vtap,
                 "roll16": DEFAULT_ROLL16 if roll16 is None else roll16,
-                "dyn_m": DEFAULT_DYN_M})
+                "dyn_m": DEFAULT_DYN_M, "mpair": DEFAULT_MPAIR})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

@@ -140,6 +140,7 @@ def _refresh_module_globals(flags: dict) -> None:
     pallas_render.DEFAULT_VTAP = bool(flags.get("vtap", False))
     pallas_render.DEFAULT_ROLL16 = bool(flags.get("roll16", False))
     pallas_render.DEFAULT_DYN_M = bool(flags.get("dyn_m", False))
+    pallas_render.DEFAULT_MPAIR = bool(flags.get("mpair", False))
 
 
 def ensure_armed(fused_net=None, height: int = 320, width: int = 640,
