@@ -45,8 +45,29 @@ _KVS = 3
 _VPAD = 8
 
 
+def _kvs_for(height: int) -> int:
+    """Resolution-scaled vertical ladder bound. |dy| <= 2.23 was
+    measured at H=320 (0.032 baseline); the displacement is a fixed
+    ANGULAR quantity, so the pixel bound scales linearly with H. +1
+    margin. Heights <= 320 keep the original 3 (bit-identical
+    production kernel, warm compile cache). Without this the 512-row
+    hres chunks flunk the per-chunk fast gate and the whole hres sweep
+    rides the XLA gather fallback (measured 94 ms of the 215 ms frame
+    at 1024x512, tools/exp_hres_stages.py)."""
+    if height <= 320:
+        return _KVS
+    return int(-(-(2.23 * height) // 320)) + 1
+
+
+def _vpad_for(kvs: int) -> int:
+    """Wrap padding / band lead for a ladder bound: multiple of 8 and
+    >= kvs + 1 (the deepest tap row)."""
+    return max(8, 8 * -(-(kvs + 1) // 8))
+
+
 def _row_params(order: int, depths: Array, intrinsics: Array,
-                height: int, width: int, flip_out: bool = False):
+                height: int, width: int, flip_out: bool = False,
+                kvs: int = _KVS):
     """Per-(plane, row) sweep parameters via the reference projection.
 
     Returns dict of [P, H] arrays: y0, y1 (int32 vertical taps), fy,
@@ -70,7 +91,17 @@ def _row_params(order: int, depths: Array, intrinsics: Array,
     # geometrically valid, the whole row renders from garbage params.
     # u0 recovers from any column c as u(c) + c (mod W); v is constant
     # along the row.
+    # Column probe set: the original 4 quarter columns FIRST (argmax
+    # picks the first non-parked, so rows they cover keep bit-identical
+    # params), then 12 more spread columns. At hres shapes (observed
+    # 512x256) the park-flip noise can hit all 4 quarter columns of a
+    # valid row at once — the row then renders from parked garbage and
+    # its huge dy_relevant kicks the whole chunk to the gather branch;
+    # 16 probes drive that probability to ~q^16.
     cols = [0, width // 4, width // 2, (3 * width) // 4]
+    cols += [(2 * k + 1) * width // 8 for k in range(4)]
+    cols += [(2 * k + 1) * width // 16 for k in range(8)]
+    cols = list(dict.fromkeys(c % width for c in cols))
     Sc = S[:, cols]
     Tc = T[:, cols]
     pts = cameras.backproject_spherical(Sc, Tc, depths)
@@ -101,7 +132,7 @@ def _row_params(order: int, depths: Array, intrinsics: Array,
     # so clamping them is safe.
     i_row = jnp.arange(height, dtype=jnp.float32)[None, :]
     dy_full = y0f - i_row
-    dy = jnp.clip(dy_full, -_KVS, _KVS)
+    dy = jnp.clip(dy_full, -kvs, kvs)
     y0 = jnp.mod(y0f.astype(jnp.int32), height)
     y1 = jnp.mod(y0 + 1, height)
     dy_relevant = jnp.where(valid, jnp.abs(dy_full), 0.0)
@@ -169,7 +200,8 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                   shiftv_ref, fxv_ref, validv_ref,
                   img_ref, park_ref, out_ref, band_ref, vb_ref, *,
                   height: int, width: int, row_block: int,
-                  tap2_roll: int = 1, out_row0: int = 0):
+                  tap2_roll: int = 1, out_row0: int = 0,
+                  kvs: int = _KVS, vpad: int = _VPAD):
     """Grid: (NP,) — one program per (eye-)plane. img_ref block:
     [1, C, H + 2*_VPAD, W] wrap-padded source for THIS program's eye
     (the dual-eye call stacks both images and index-maps i // P);
@@ -221,13 +253,13 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
             # cover original rows [base - VPAD, base + RB + VPAD)
             bs = pl.multiple_of(blk * row_block, 8)
             band_ref[:, :, :] = img_ref[0, :,
-                                        pl.ds(bs, row_block + 2 * _VPAD),
+                                        pl.ds(bs, row_block + 2 * vpad),
                                         :]
             block = None                                      # [C, RB, W]
-            for m in range(-_KVS, _KVS + 2):
+            for m in range(-kvs, kvs + 2):
                 cv = ((1.0 - fy_vec) * (dy_vec == m)
                       + fy_vec * (dy_vec == m - 1))[None]     # [1, RB, 1]
-                tap = band_ref[:, _VPAD + m:_VPAD + m + row_block, :]
+                tap = band_ref[:, vpad + m:vpad + m + row_block, :]
                 term = cv * tap
                 block = term if block is None else block + term
             vb_ref[:, :, :] = block
@@ -239,8 +271,8 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
                 y0 = y0_ref[pid, i]
                 y1 = y1_ref[pid, i]
                 fy = fy_ref[pid, i]
-                row0 = img_ref[0, :, pl.ds(y0 + _VPAD, 1), :]
-                row1 = img_ref[0, :, pl.ds(y1 + _VPAD, 1), :]
+                row0 = img_ref[0, :, pl.ds(y0 + vpad, 1), :]
+                row1 = img_ref[0, :, pl.ds(y1 + vpad, 1), :]
                 vb_ref[:, pl.ds(r, 1), :] = (1.0 - fy) * row0 + fy * row1
                 return 0
 
@@ -285,17 +317,19 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
     and returns the kernel-native [P, C, H, W]."""
     p = depths.shape[0]
     c = image.shape[-1]
+    kvs = _kvs_for(height)
+    vpad = _vpad_for(kvs)
     params = _row_params(order, depths, intrinsics, height, width,
-                         flip_out=flip_out)
+                         flip_out=flip_out, kvs=kvs)
     img_cf = jnp.transpose(image, (2, 0, 1))          # [C, H, W]
     if flip_out:
         img_base = img_cf.astype(jnp.float32)
     else:
         img_base = jnp.flip(img_cf, axis=2).astype(jnp.float32)
     # vertical wrap padding (mod-H tap semantics, band alignment)
-    img_padded = jnp.concatenate([img_base[:, -_VPAD:],
+    img_padded = jnp.concatenate([img_base[:, -vpad:],
                                   img_base,
-                                  img_base[:, :_VPAD]], axis=1)
+                                  img_base[:, :vpad]], axis=1)
     # invalid rows park at pixel (1, 1) like the reference; prebroadcast
     park_row = jnp.broadcast_to(image[1, 1, :].reshape(c, 1, 1),
                                 (c, 1, width))
@@ -303,7 +337,7 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
     out = _sweep_call(img_padded[None], park_row[None], params,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=flip_out,
-                      interpret=interpret)
+                      interpret=interpret, kvs=kvs, vpad=vpad)
     if raw_layout:
         return out                                    # [P, C, H, W]
     return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
@@ -312,7 +346,8 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
 def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                 p_per_eye: int, height: int, width: int, out_dtype,
                 flip_out: bool, interpret: bool,
-                out_row_pad: int = 0) -> Array:
+                out_row_pad: int = 0,
+                kvs: int = _KVS, vpad: int = _VPAD) -> Array:
     """Shared pallas_call: imgs_padded [NE, C, H+2*_VPAD, W] (one image
     per eye), parks [NE, C, 1, W], params dict of [NE*P, ...] arrays.
     Grid (NE*P,); program i uses image i // p_per_eye. Returns
@@ -327,7 +362,7 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
     n_blocks = height // row_block
     # fast flag per (plane, block): every valid row's tap fits the ladder
     fast = (params["dy_relevant"].reshape(np_total, n_blocks, row_block)
-            .max(axis=2) <= _KVS).astype(jnp.int32)
+            .max(axis=2) <= kvs).astype(jnp.int32)
     if row_block % 8:
         # The fast-ladder band slice asserts an 8-aligned sublane start
         # (pl.multiple_of in _sweep_kernel); when _row_block fell back to
@@ -341,12 +376,12 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block,
                           tap2_roll=(width - 1) if flip_out else 1,
-                          out_row0=out_row_pad),
+                          out_row0=out_row_pad, kvs=kvs, vpad=vpad),
         grid=(np_total,),
         in_specs=[smem(), smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
                   vmem_vec(),
-                  pl.BlockSpec((1, c, height + 2 * _VPAD, width),
+                  pl.BlockSpec((1, c, height + 2 * vpad, width),
                                lambda i: (i // pp, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, c, 1, width),
@@ -357,7 +392,7 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_total, c, hout, width),
                                        out_dtype),
-        scratch_shapes=[pltpu.VMEM((c, row_block + 2 * _VPAD, width),
+        scratch_shapes=[pltpu.VMEM((c, row_block + 2 * vpad, width),
                                    jnp.float32),
                         pltpu.VMEM((c, row_block, width), jnp.float32)],
         # block double-buffering puts this slightly over the default 16MB
@@ -386,22 +421,26 @@ def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
     render-native volumes. Returns (fgF, bgF) each [P, C, H, W] (or
     [P, C, H + 2*out_row_pad, W] with zeroed pad bands)."""
     p = depths.shape[0]
+    kvs = _kvs_for(height)
+    vpad = _vpad_for(kvs)
     imgs, parks = [], []
     for img in (ref_image, src_image):
         cf = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
-        imgs.append(jnp.concatenate([cf[:, -_VPAD:], cf,
-                                     cf[:, :_VPAD]], axis=1))
+        imgs.append(jnp.concatenate([cf[:, -vpad:], cf,
+                                     cf[:, :vpad]], axis=1))
         c = img.shape[-1]
         parks.append(jnp.broadcast_to(img[1, 1, :].reshape(c, 1, 1),
                                       (c, 1, width)))
-    pr = _row_params(1, depths, intrinsics, height, width, flip_out=True)
+    pr = _row_params(1, depths, intrinsics, height, width,
+                     flip_out=True, kvs=kvs)
     ps = _row_params(-1, depths, intrinsics, height, width,
-                     flip_out=True)
+                     flip_out=True, kvs=kvs)
     params = {k: jnp.concatenate([pr[k], ps[k]], axis=0) for k in pr}
     out = _sweep_call(jnp.stack(imgs), jnp.stack(parks), params,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=True,
-                      interpret=interpret, out_row_pad=out_row_pad)
+                      interpret=interpret, out_row_pad=out_row_pad,
+                      kvs=kvs, vpad=vpad)
     return out[:p], out[p:]
 
 
@@ -494,21 +533,26 @@ def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,
     p = depths.shape[0]
     assert h % chunk_rows == 0, (h, chunk_rows)
     nch = h // chunk_rows
+    # dy scales with the FULL image height (the chunk is just a row
+    # window of it)
+    kvs = _kvs_for(h)
+    vpad = _vpad_for(kvs)
 
     fgs, bgs = [], []
     for bi in range(b):
         imgs, parks = [], []
         for img in (ref_image[bi], src_image[bi]):
             cf = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
-            imgs.append(jnp.concatenate([cf[:, -_VPAD:], cf,
-                                         cf[:, :_VPAD]], axis=1))
+            imgs.append(jnp.concatenate([cf[:, -vpad:], cf,
+                                         cf[:, :vpad]], axis=1))
             parks.append(jnp.broadcast_to(
                 img[1, 1, :].reshape(c, 1, 1), (c, 1, w)))
         imgs = jnp.stack(imgs)                    # [2, C, H+2VPAD, W]
         parks = jnp.stack(parks)
-        pr = _row_params(1, depths, intrinsics[bi], h, w, flip_out=True)
+        pr = _row_params(1, depths, intrinsics[bi], h, w,
+                         flip_out=True, kvs=kvs)
         ps = _row_params(-1, depths, intrinsics[bi], h, w,
-                         flip_out=True)
+                         flip_out=True, kvs=kvs)
         params = {k: jnp.concatenate([pr[k], ps[k]], axis=0)
                   for k in pr}
 
@@ -538,17 +582,18 @@ def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,
                                                       axis=1)
                       for k, v in params.items()}
             band = jax.lax.slice_in_dim(imgs, r0, r0 + chunk_rows
-                                        + 2 * _VPAD, axis=2)
+                                        + 2 * vpad, axis=2)
             fastc = (pchunk["dy_relevant"]
                      .reshape(2 * p, nblk_c, row_block)
-                     .max(axis=2) <= _KVS)
+                     .max(axis=2) <= kvs)
             all_fast = jnp.all(fastc) & (row_block % 8 == 0)
 
             def kernel_branch(band, pchunk):
                 out = _sweep_call(band, parks, pchunk, p_per_eye=p,
                                   height=chunk_rows, width=w,
                                   out_dtype=out_dtype, flip_out=True,
-                                  interpret=interpret)
+                                  interpret=interpret, kvs=kvs,
+                                  vpad=vpad)
                 return out[:p], out[p:]
 
             def gather_branch(band, pchunk, r0=r0):

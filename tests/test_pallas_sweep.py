@@ -183,3 +183,53 @@ def test_chunked_sweep_production_depths_all_kernel():
         err = np.abs(np.asarray(got) - np.asarray(ref_v))
         assert err.max() < 5e-3, err.max()
         assert np.percentile(err, 99) < 1e-3, np.percentile(err, 99)
+
+
+def test_chunked_sweep_hres_height_rides_kernel():
+    """Resolution-scaled ladder bound (_kvs_for): at hres heights the
+    vertical displacement exceeds the 320-row _KVS=3, which used to
+    flunk every chunk's fast gate and silently route the WHOLE hres
+    sweep through the gather fallback (94 ms of the 215 ms 1024x512
+    frame). With kvs scaled, production-depth chunks must (a) pass the
+    fast gate and (b) match the gather path."""
+    h, w, p = 512, 256, 4
+    rng = np.random.RandomState(6)
+    ref = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    src = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, p))
+    intr = jnp.asarray([[0.032, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                       dtype=jnp.float32)[None]
+
+    # (a) the fast gate passes for EVERY chunk at production depths:
+    # the scaled ladder covers the true vertical displacement
+    # (2.23 * h/320 > 3 above 430 rows) and the 16-column probe kills
+    # the all-columns-parked noise rows whose bogus dy_relevant (a
+    # park at v=1 hundreds of rows away) used to flunk whole chunks.
+    kvs = pallas_sweep._kvs_for(h)
+    assert kvs > pallas_sweep._KVS
+    pr = pallas_sweep._row_params(1, depths, intr[0], h, w,
+                                  flip_out=True, kvs=kvs)
+    ps = pallas_sweep._row_params(-1, depths, intr[0], h, w,
+                                  flip_out=True, kvs=kvs)
+    dyr = np.concatenate([np.asarray(pr["dy_relevant"]),
+                          np.asarray(ps["dy_relevant"])])
+    assert dyr.max() <= kvs, (dyr.max(), kvs)
+
+    # (b) chunked == whole-image dual kernel (identical parameter
+    # computation at the scaled kvs; kernel chunks are bit-equal —
+    # comparing against the per-pixel gather path instead would only
+    # re-measure the far-shell equator disc-cancellation noise of THAT
+    # path, see test_fused_sweep_matches_gather_path's envelope)
+    _, fgF, bgF = pallas_sweep.ods_sweep_identity_prepared(
+        ref, src, depths, intr, interpret=True)
+    fgC, bgC = pallas_sweep.ods_sweep_identity_chunked(
+        ref, src, depths, intr, chunk_rows=128, interpret=True)
+    for got, ref_v in ((fgC, fgF), (bgC, bgF)):
+        err = np.abs(np.asarray(got, np.float32)
+                     - np.asarray(ref_v, np.float32))
+        # plane 0 is the farthest shell: its equatorial rows sit in the
+        # projection's f32 disc-cancellation zone, where eager vs
+        # jitted trig legitimately disagree (u0 noise ~1e-2 px) — only
+        # a mean envelope is pinnable there. Nearer shells are tight.
+        assert err[0, 1:].max() < 5e-3, err[0, 1:].max()
+        assert err[0, 0].mean() < 1e-3, err[0, 0].mean()

@@ -127,43 +127,31 @@ def main():
         jnp.concatenate([bl, al], axis=-1), hh, hw))(blend, alphas)
     u_ba = jax.block_until_ready(u_ba)
 
-    def assemble(cap):
+    def synth_prepared(cap):
+        """Random prepared/cap-band dict at the exact assemble shapes —
+        the real assemble bakes the upsample one-hots into the HLO and
+        a CHAIN-looped probe of it exceeds the relay's compile-request
+        size cap (HTTP 413); render timing only needs shapes/dtypes."""
         cap_pad = render_geo._cap_band_pad(hh, hw, cap)
         kv = pallas_render.default_bounds(hh, hw, cap)[1]
-        per = [msi_lib.assemble_hres_prepared(
-            cfg.which_color_pred, u_ba[i, ..., :p], u_ba[i, ..., p:],
-            fgF[i], bgF[i], None, cap, pallas_render.ROW_BLOCK,
-            cap_pad, kv, dtype=cfg.jnp_compute_dtype)
-            for i in range(b)]
-        return {k: jnp.stack([d[k] for d in per])
-                for k in ("prepared", "cap_top", "cap_bot")}
-
-    @jax.jit
-    def stage_asm(fa):
-        def body(_, x):
-            o = assemble(cap0)
-            return x + o["prepared"].astype(jnp.float32).mean() * 1e-12
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.zeros(()))
-    try:
-        print(f"[hres] assemble(cap={cap0}): "
-              f"{timeit(stage_asm, 0.0):.1f} ms", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"[hres] assemble: FAIL {type(e).__name__}: "
-              f"{str(e)[:200]}", flush=True)
+        _, _, pad = pallas_render._band_geometry(
+            cap, pallas_render.ROW_BLOCK, kv)
+        rs = np.random.RandomState(cap)
+        dt = cfg.jnp_compute_dtype
+        prepared = jnp.asarray(
+            rs.rand(b, p, 4, hh + 2 * pad, hw), dt)
+        rows = cap + 2 * cap_pad
+        cap_top = jnp.asarray(rs.rand(b, rows, hw, p, 4), dt)
+        cap_bot = jnp.asarray(rs.rand(b, rows, hw, p, 4), dt)
+        return {"prepared": prepared, "cap_top": cap_top,
+                "cap_bot": cap_bot}
 
     # -- render stage sweep over (cap, chunk)
-    hm0 = hh - 2 * cap0
     for cap in sorted({cap0, 48, 64, 80}):
         hm = hh - 2 * cap
         if hm <= 0 or hm % 32:
             continue
-        try:
-            outs = jax.block_until_ready(
-                jax.jit(lambda: assemble(cap))())
-        except Exception as e:  # noqa: BLE001
-            print(f"[hres] assemble(cap={cap}) FAIL "
-                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
-            continue
+        outs = jax.tree.map(jax.block_until_ready, synth_prepared(cap))
         for chunk in (128, 64, None):
             if chunk is not None and hm % chunk:
                 continue
