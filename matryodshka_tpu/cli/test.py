@@ -159,8 +159,15 @@ def _hres_fused_plan(hh: int, hw: int):
     hm = hh - 2 * cap
     if hm <= 0 or hm % 32:
         return None
-    render_chunk = next((c for c in (128, 96, 64, 32) if hm % c == 0),
-                        None)
+    # Unchunked mid render when the per-plane ladder block fits VMEM
+    # comfortably (measured 23.3 vs 30.1 ms at 1024x512, chunk=64):
+    # chunking exists for the 4096x2048 shape whose [4, H+2pad, W]
+    # block alone is ~70 MB.
+    if 4 * (hh + 64) * hw * 2 <= 20 * 1024 * 1024:
+        render_chunk = 0   # 0 = unchunked (None means "plan failed")
+    else:
+        render_chunk = next((c for c in (128, 96, 64, 32)
+                             if hm % c == 0), None)
     sweep_chunk = next((c for c in (128, 64, 32, 16) if hh % c == 0),
                        None)
     if render_chunk is None or sweep_chunk is None:
@@ -183,6 +190,7 @@ def build_hres_render_fn_fused(cfg: MatryConfig, interpret: bool = False):
             or not (interpret or jax.default_backend() == "tpu")):
         return None
     cap, render_chunk, sweep_chunk = plan
+    render_chunk = render_chunk or None   # 0 = unchunked ladder
     psv_depths = jnp.asarray(sweep_lib.inv_depths(
         cfg.min_depth, cfg.max_depth, cfg.num_psv_planes))
     p = cfg.num_psv_planes
