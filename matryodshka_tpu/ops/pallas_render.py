@@ -294,12 +294,13 @@ def _unpack2(t):
 
 def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                          u_ref, v_ref, out_ref, rolled_ref, cvs_ref,
-                         acc_ref, vtap_ref, *,
+                         acc_ref, vtap_ref, *rest,
                          h_mid: int, width: int, wb: int, cap: int,
                          row_block: int, kh_max: int, kv_max: int,
                          abs_row0: int = None, band_origin: int = None,
                          parts: str = "all", vtap: bool = False,
-                         dyn_m: bool = False, mpair: bool = False):
+                         dyn_m: bool = False, mpair: bool = False,
+                         kpair: bool = False):
     """Hybrid column-tiled ladder: FULL-WIDTH roll chains (identical to
     _render_kernel -- wide rolls are the efficient form, measured 1.78
     cycles/lane vs 3.3 for per-tile halo'd rolls) with the FMA work
@@ -345,6 +346,18 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
     do_tap = parts in ("all", "norolls", "noacc", "noch")
     do_accrmw = parts != "noacc"
     do_ch = parts != "noch"
+    if kpair:
+        # perf_flags "kpair": TWO horizontal rungs per loop iteration
+        # from two rolled bands offset by one rung — halves the k-loop
+        # iteration count (and with it the per-(k, t) branch/loop
+        # machinery, the ladder's dominant non-roll slab: 2.45 ms of
+        # 4.75 at the r4 bench-pose parts split). Roll volume is
+        # unchanged (two buffers each rolled by 2 every other rung);
+        # the price is one extra band seed per chain and zero-
+        # coefficient FMAs where only one rung of a pair is active.
+        assert parts == "all" and not vtap and not dyn_m, (
+            "kpair composes only with mpair")
+        rolledb_ref = rest[0]
     p = pl.program_id(0)
     nblk = h_mid // row_block
     nt = width // wb
@@ -527,31 +540,139 @@ def _render_kernel_tiled(kt_ref, mt_ref, layer_ref,
                                 acc_ref[:, :, c0:c0 + wb] = \
                                     upd.astype(acc_ref.dtype)
 
-        rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
-                                        :].astype(rolled_ref.dtype)
+        def rungs_pair(k):
+            """kpair: rungs k (from rolled_ref) and k+1 (rolledb_ref)
+            under ONE set of tile/m-region branch tests."""
+            kfA = k.astype(jnp.float32)
+            kfB = kfA + 1.0
+            for t in range(nt):
+                (tklo, tkhi), (tmlo, tmhi) = bounds[t]
 
-        def k_up(i, _):
-            rungs(i)
-            if do_rolls:
-                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
-                                                 width - 1, axis=2)
-            return 0
+                @pl.when((k + 1 >= tklo - 1) & (k <= tkhi))
+                def _(t=t, tmlo=tmlo, tmhi=tmhi):
+                    c0 = t * wb
+                    fxt = fx[:, c0:c0 + wb]
+                    dkt = dk[:, c0:c0 + wb]
+                    chA = ((1.0 - fxt) * (dkt == kfA)
+                           + fxt * (dkt == kfA + 1.0))
+                    chB = ((1.0 - fxt) * (dkt == kfB)
+                           + fxt * (dkt == kfB + 1.0))
+                    if mpair:
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            if mi % 2:
+                                continue
 
-        jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+                            @pl.when((m + 1 >= tmlo) & (m <= tmhi + 1))
+                            def _(mi=mi, m=m, t=t, chA=chA, chB=chB):
+                                c0 = t * wb
+                                cv0 = cvs_ref[mi, :, c0:c0 + wb]
+                                cv1 = cvs_ref[mi + 1, :, c0:c0 + wb]
+                                tA0 = rolled_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wb]
+                                tA1 = rolled_ref[
+                                    :, band_lead + m + 1:
+                                    band_lead + m + 1 + row_block,
+                                    c0:c0 + wb]
+                                tB0 = rolledb_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wb]
+                                tB1 = rolledb_ref[
+                                    :, band_lead + m + 1:
+                                    band_lead + m + 1 + row_block,
+                                    c0:c0 + wb]
+                                acc_ref[:, :, c0:c0 + wb] = (
+                                    acc_ref[:, :, c0:c0 + wb]
+                                    + ((chA * cv0)[None] * tA0
+                                       + (chA * cv1)[None] * tA1
+                                       + (chB * cv0)[None] * tB0
+                                       + (chB * cv1)[None] * tB1
+                                       ).astype(acc_ref.dtype))
+                        return
+                    for mi, m in enumerate(range(-kv_max, kv_max + 2)):
+                        @pl.when((m >= tmlo) & (m <= tmhi + 1))
+                        def _(mi=mi, m=m, t=t, chA=chA, chB=chB):
+                            c0 = t * wb
+                            cv = cvs_ref[mi, :, c0:c0 + wb]
+                            tA = rolled_ref[:, band_lead + m:
+                                            band_lead + m + row_block,
+                                            c0:c0 + wb]
+                            tB = rolledb_ref[:, band_lead + m:
+                                             band_lead + m + row_block,
+                                             c0:c0 + wb]
+                            acc_ref[:, :, c0:c0 + wb] = (
+                                acc_ref[:, :, c0:c0 + wb]
+                                + ((chA * cv)[None] * tA
+                                   + (chB * cv)[None] * tB
+                                   ).astype(acc_ref.dtype))
 
-        @pl.when(gklo - 1 < 0)
-        def _():
+        if kpair:
+            bandval = layer_ref[0, :, pl.ds(bs, band),
+                                :].astype(rolled_ref.dtype)
+            rolled_ref[:, :, :] = bandval
+            rolledb_ref[:, :, :] = pltpu.roll(bandval, width - 1, axis=2)
+
+            def kp_up(i, _):
+                rungs_pair(2 * i)
+                rolled_ref[:, :, :] = pltpu.roll(
+                    rolled_ref[:, :, :], width - 2, axis=2)
+                rolledb_ref[:, :, :] = pltpu.roll(
+                    rolledb_ref[:, :, :], width - 2, axis=2)
+                return 0
+
+            # pairs (0,1), (2,3), ... cover rungs 0..gkhi; rungs past
+            # gkhi (or below klo-1) carry all-zero masks, so the pair
+            # over-coverage is safe (same argument as the single-rung
+            # chains').
+            jax.lax.fori_loop(0, (gkhi + 2) // 2, kp_up, 0)
+
+            @pl.when(gklo - 1 < 0)
+            def _():
+                bandv2 = layer_ref[0, :, pl.ds(bs, band),
+                                   :].astype(rolled_ref.dtype)
+                rolledb_ref[:, :, :] = pltpu.roll(bandv2, 1, axis=2)
+                rolled_ref[:, :, :] = pltpu.roll(bandv2, 2, axis=2)
+
+            def kp_down(i, _):
+                rungs_pair(-2 - 2 * i)
+                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 2,
+                                                 axis=2)
+                rolledb_ref[:, :, :] = pltpu.roll(rolledb_ref[:, :, :],
+                                                  2, axis=2)
+                return 0
+
+            # pairs (-2,-1), (-4,-3), ... cover rungs gklo-1..-1
+            jax.lax.fori_loop(0, jnp.maximum(0, (2 - gklo) // 2),
+                              kp_down, 0)
+        else:
             rolled_ref[:, :, :] = layer_ref[0, :, pl.ds(bs, band),
                                             :].astype(rolled_ref.dtype)
 
-        def k_down(i, _):
-            if do_rolls:
-                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :], 1,
-                                                 axis=2)
-            rungs(-1 - i)
-            return 0
+            def k_up(i, _):
+                rungs(i)
+                if do_rolls:
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], width - 1, axis=2)
+                return 0
 
-        jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
+            jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+
+            @pl.when(gklo - 1 < 0)
+            def _():
+                rolled_ref[:, :, :] = layer_ref[
+                    0, :, pl.ds(bs, band), :].astype(rolled_ref.dtype)
+
+            def k_down(i, _):
+                if do_rolls:
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], 1, axis=2)
+                rungs(-1 - i)
+                return 0
+
+            jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
 
         rgb = acc_ref[0:3, :, :].astype(jnp.float32)
         alpha = acc_ref[3:4, :, :].astype(jnp.float32)
@@ -800,12 +921,12 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                         u_ref, v_ref, out_ref,
                         fgb_ref, bgb_ref, blb_ref, alb_ref, bandf_ref,
                         rolled_ref, cvs_ref, acc_ref, t_ref, vtap_ref,
-                        sems, *,
+                        *rest,
                         width: int, wb: int, cap: int, row_block: int,
                         kh_max: int, kv_max: int, planes: int,
                         eps: float, vpad: int, depth: bool = False,
                         vtap: bool = False, dyn_m: bool = False,
-                        mpair: bool = False):
+                        mpair: bool = False, kpair: bool = False):
     """FTB ladder with the ASSEMBLE BLEND fused in (blend_psv scheme).
 
     depth=True renders the depth proxy instead: rgb is the constant
@@ -824,6 +945,11 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
     asserts; production geometry satisfies both). Per-plane band DMAs
     are double-buffered across the front-to-back plane walk; compute is
     culled exactly like _render_kernel_ftb."""
+    if kpair:
+        assert not vtap and not dyn_m, "kpair composes only with mpair"
+        rolledb_ref, sems = rest
+    else:
+        (sems,) = rest
     blk = pl.program_id(0)
     nt = width // wb if wb else 1
     wbw = wb if wb else width
@@ -1073,27 +1199,138 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                                     + (coef[None] * tap).astype(
                                         acc_ref.dtype))
 
-            rolled_ref[:, :, :] = bandf_ref[:, :, :]
+            def rungs_pair(k):
+                """kpair: rungs k (rolled_ref) and k+1 (rolledb_ref)
+                under one set of tile/m-region branch tests (see
+                _render_kernel_tiled)."""
+                kfA = k.astype(jnp.float32)
+                kfB = kfA + 1.0
+                for t in range(nt):
+                    (tklo, tkhi), (tmlo, tmhi) = bounds[t]
 
-            def k_up(i, _):
-                rungs(i)
-                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
-                                                 width - 1, axis=2)
-                return 0
+                    @pl.when((k + 1 >= tklo - 1) & (k <= tkhi)
+                             & talive[t])
+                    def _(t=t, tmlo=tmlo, tmhi=tmhi):
+                        c0 = t * wbw
+                        fxt = fx[:, c0:c0 + wbw]
+                        dkt = dk[:, c0:c0 + wbw]
+                        chA = ((1.0 - fxt) * (dkt == kfA)
+                               + fxt * (dkt == kfA + 1.0))
+                        chB = ((1.0 - fxt) * (dkt == kfB)
+                               + fxt * (dkt == kfB + 1.0))
+                        if mpair:
+                            for mi, m in enumerate(range(-kv_max,
+                                                         kv_max + 2)):
+                                if mi % 2:
+                                    continue
 
-            jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+                                @pl.when((m + 1 >= tmlo)
+                                         & (m <= tmhi + 1))
+                                def _(mi=mi, m=m, t=t, chA=chA,
+                                      chB=chB):
+                                    c0 = t * wbw
+                                    cv0 = cvs_ref[mi, :, c0:c0 + wbw]
+                                    cv1 = cvs_ref[mi + 1, :,
+                                                  c0:c0 + wbw]
+                                    tA0 = rolled_ref[
+                                        :, band_lead + m:
+                                        band_lead + m + row_block,
+                                        c0:c0 + wbw]
+                                    tA1 = rolled_ref[
+                                        :, band_lead + m + 1:
+                                        band_lead + m + 1 + row_block,
+                                        c0:c0 + wbw]
+                                    tB0 = rolledb_ref[
+                                        :, band_lead + m:
+                                        band_lead + m + row_block,
+                                        c0:c0 + wbw]
+                                    tB1 = rolledb_ref[
+                                        :, band_lead + m + 1:
+                                        band_lead + m + 1 + row_block,
+                                        c0:c0 + wbw]
+                                    acc_ref[:, :, c0:c0 + wbw] = (
+                                        acc_ref[:, :, c0:c0 + wbw]
+                                        + ((chA * cv0)[None] * tA0
+                                           + (chA * cv1)[None] * tA1
+                                           + (chB * cv0)[None] * tB0
+                                           + (chB * cv1)[None] * tB1
+                                           ).astype(acc_ref.dtype))
+                            return
+                        for mi, m in enumerate(range(-kv_max,
+                                                     kv_max + 2)):
+                            @pl.when((m >= tmlo) & (m <= tmhi + 1))
+                            def _(mi=mi, m=m, t=t, chA=chA, chB=chB):
+                                c0 = t * wbw
+                                cv = cvs_ref[mi, :, c0:c0 + wbw]
+                                tA = rolled_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wbw]
+                                tB = rolledb_ref[
+                                    :, band_lead + m:
+                                    band_lead + m + row_block,
+                                    c0:c0 + wbw]
+                                acc_ref[:, :, c0:c0 + wbw] = (
+                                    acc_ref[:, :, c0:c0 + wbw]
+                                    + ((chA * cv)[None] * tA
+                                       + (chB * cv)[None] * tB
+                                       ).astype(acc_ref.dtype))
 
-            @pl.when(gklo - 1 < 0)
-            def _():
+            if kpair:
+                rolled_ref[:, :, :] = bandf_ref[:, :, :]
+                rolledb_ref[:, :, :] = pltpu.roll(
+                    bandf_ref[:, :, :], width - 1, axis=2)
+
+                def kp_up(i, _):
+                    rungs_pair(2 * i)
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], width - 2, axis=2)
+                    rolledb_ref[:, :, :] = pltpu.roll(
+                        rolledb_ref[:, :, :], width - 2, axis=2)
+                    return 0
+
+                jax.lax.fori_loop(0, (gkhi + 2) // 2, kp_up, 0)
+
+                @pl.when(gklo - 1 < 0)
+                def _():
+                    rolledb_ref[:, :, :] = pltpu.roll(
+                        bandf_ref[:, :, :], 1, axis=2)
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        bandf_ref[:, :, :], 2, axis=2)
+
+                def kp_down(i, _):
+                    rungs_pair(-2 - 2 * i)
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], 2, axis=2)
+                    rolledb_ref[:, :, :] = pltpu.roll(
+                        rolledb_ref[:, :, :], 2, axis=2)
+                    return 0
+
+                jax.lax.fori_loop(0, jnp.maximum(0, (2 - gklo) // 2),
+                                  kp_down, 0)
+            else:
                 rolled_ref[:, :, :] = bandf_ref[:, :, :]
 
-            def k_down(i, _):
-                rolled_ref[:, :, :] = pltpu.roll(rolled_ref[:, :, :],
-                                                 1, axis=2)
-                rungs(-1 - i)
-                return 0
+                def k_up(i, _):
+                    rungs(i)
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], width - 1, axis=2)
+                    return 0
 
-            jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo), k_down, 0)
+                jax.lax.fori_loop(0, gkhi + 1, k_up, 0)
+
+                @pl.when(gklo - 1 < 0)
+                def _():
+                    rolled_ref[:, :, :] = bandf_ref[:, :, :]
+
+                def k_down(i, _):
+                    rolled_ref[:, :, :] = pltpu.roll(
+                        rolled_ref[:, :, :], 1, axis=2)
+                    rungs(-1 - i)
+                    return 0
+
+                jax.lax.fori_loop(0, jnp.maximum(0, 1 - gklo),
+                                  k_down, 0)
 
             rgb_w = acc_ref[0:3, :, :].astype(jnp.float32)
             a_w = acc_ref[3, :, :].astype(jnp.float32)
@@ -1123,7 +1360,7 @@ def _render_kernel_ftbb(kt_ref, mt_ref, fg_hbm, bg_hbm, pred_hbm,
                                              "vpad", "depth",
                                              "interpret", "vtap",
                                              "roll16", "dyn_m",
-                                             "mpair"))
+                                             "mpair", "kpair"))
 def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             u: Array, v: Array, cap: int,
                             row_block: int, kh_max: int, kv_max: int,
@@ -1133,7 +1370,8 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                             vtap: bool = None,
                             roll16: bool = None,
                             dyn_m: bool = None,
-                            mpair: bool = None) -> Array:
+                            mpair: bool = None,
+                            kpair: bool = None) -> Array:
     """Blend-fused FTB mid render. fgP/bgP: [P, 3, H + 2*vpad, W]
     flipped plane-major sweep volumes; pred: [H, 2P(+extra), W] f32
     flipped row-major net output (blend_psv layout: blend ch p, alpha
@@ -1191,8 +1429,10 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
             pltpu.VMEM((4, row_block, w), jnp.float32),
             pltpu.VMEM((row_block, w), jnp.float32),
             pltpu.VMEM((4, row_block, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        ] + ([pltpu.VMEM((4, band8, w),
+                         fgP.dtype if roll16 else jnp.float32)]
+             if kpair else [])
+          + [pltpu.SemaphoreType.DMA((2, 4))],
     )
     vtap = bool(vtap)   # None == False; wrappers resolve the defaults
     out = pl.pallas_call(
@@ -1200,7 +1440,7 @@ def _ladder_render_mid_ftbb(fgP: Array, bgP: Array, pred: Array,
                           row_block=row_block, kh_max=kh_max,
                           kv_max=kv_max, planes=p, eps=eps, vpad=vpad,
                           depth=depth, vtap=vtap, dyn_m=bool(dyn_m),
-                          mpair=bool(mpair)),
+                          mpair=bool(mpair), kpair=bool(kpair)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, hm, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -1237,7 +1477,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
                            vtap: bool = None,
                            roll16: bool = None,
                            dyn_m: bool = None,
-                           mpair: bool = None) -> Array:
+                           mpair: bool = None,
+                           kpair: bool = None) -> Array:
     """Blend-fused FTB mid render from the sweep kernel's planar
     volumes + the net's flipped row-major prediction (blend_psv).
     fgP/bgP: [P, 3, H + 2*vpad, W]; pred: [H, K, W] f32 (hkwF);
@@ -1258,7 +1499,8 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
         vtap=DEFAULT_VTAP if vtap is None else vtap,
         roll16=DEFAULT_ROLL16 if roll16 is None else roll16,
         dyn_m=DEFAULT_DYN_M if dyn_m is None else dyn_m,
-        mpair=DEFAULT_MPAIR if mpair is None else mpair)
+        mpair=DEFAULT_MPAIR if mpair is None else mpair,
+        kpair=DEFAULT_KPAIR if kpair is None else kpair)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1331,7 +1573,7 @@ def _ladder_render_mid_ftb(layers_flipped_padded: Array, u: Array,
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
                                              "kv_max", "wb", "interpret",
                                              "parts", "vtap", "roll16",
-                                             "dyn_m", "mpair"))
+                                             "dyn_m", "mpair", "kpair"))
 def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           cap: int, row_block: int, kh_max: int,
                           kv_max: int, wb: int = None,
@@ -1340,7 +1582,8 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                           vtap: bool = None,
                           roll16: bool = None,
                           dyn_m: bool = None,
-                          mpair: bool = None) -> Array:
+                          mpair: bool = None,
+                          kpair: bool = None) -> Array:
     """layers_flipped_padded: [P, 4, H+2*pad, W]; u, v: [P, Hm, W] f32
     (separate operands — no stacked uv field is ever materialized).
     wb: column-tile width (None = full-width blocks). Returns the
@@ -1387,7 +1630,11 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
             # e2e) — and costs the bit-close-to-gather guarantee.
             pltpu.VMEM((4, row_block, w), jnp.float32),
         ] + ([pltpu.VMEM((4, row_block, w), jnp.float32)]
-             if wb is not None else []),
+             if wb is not None else [])
+          + ([pltpu.VMEM((4, band, w),
+                         layers_flipped_padded.dtype if roll16
+                         else jnp.float32)]
+             if (wb is not None and kpair) else []),
     )
     # None == False here (NOT DEFAULT_VTAP/_ROLL16: this function is
     # jitted on static flags, so a module-global read would bake the
@@ -1404,7 +1651,8 @@ def _ladder_render_mid_uv(layers_flipped_padded: Array, u: Array, v: Array,
                                  wb=wb, cap=cap, row_block=row_block,
                                  kh_max=kh_max, kv_max=kv_max,
                                  parts=parts, vtap=vtap,
-                                 dyn_m=bool(dyn_m), mpair=bool(mpair))
+                                 dyn_m=bool(dyn_m), mpair=bool(mpair),
+                                 kpair=bool(kpair))
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1559,7 +1807,7 @@ FTB_EPS = 1e-6
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
 PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap",
-                              "roll16", "dyn_m", "mpair"})
+                              "roll16", "dyn_m", "mpair", "kpair"})
 
 
 def _read_perf_flags(path=None):
@@ -1642,6 +1890,14 @@ DEFAULT_DYN_M = bool(_PERF_FLAGS.get("dyn_m", False))
 #: session); static constructs, compiles everywhere.
 DEFAULT_MPAIR = bool(_PERF_FLAGS.get("mpair", False))
 
+#: two HORIZONTAL rungs per k-loop iteration from two rolled bands
+#: offset by one rung — halves the k-loop iteration count (branch/loop
+#: machinery, the ladder's dominant non-roll slab) at unchanged roll
+#: volume. Composes with mpair (2x2 tap levels per predicated region).
+#: Measured A/B (hardware session); static constructs, compiles
+#: everywhere.
+DEFAULT_KPAIR = bool(_PERF_FLAGS.get("kpair", False))
+
 
 def render_mid_prepared(prepared: Array, uv: Array, cap: int = CAP_ROWS,
                         row_block: int = ROW_BLOCK,
@@ -1690,7 +1946,8 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
     kw = ({"eps": FTB_EPS} if ftb
           else {"vtap": DEFAULT_VTAP if vtap is None else vtap,
                 "roll16": DEFAULT_ROLL16 if roll16 is None else roll16,
-                "dyn_m": DEFAULT_DYN_M, "mpair": DEFAULT_MPAIR})
+                "dyn_m": DEFAULT_DYN_M, "mpair": DEFAULT_MPAIR,
+                "kpair": DEFAULT_KPAIR})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

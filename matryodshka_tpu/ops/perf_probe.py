@@ -141,6 +141,7 @@ def _refresh_module_globals(flags: dict) -> None:
     pallas_render.DEFAULT_ROLL16 = bool(flags.get("roll16", False))
     pallas_render.DEFAULT_DYN_M = bool(flags.get("dyn_m", False))
     pallas_render.DEFAULT_MPAIR = bool(flags.get("mpair", False))
+    pallas_render.DEFAULT_KPAIR = bool(flags.get("kpair", False))
 
 
 def ensure_armed(fused_net=None, height: int = 320, width: int = 640,

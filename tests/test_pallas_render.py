@@ -265,11 +265,12 @@ def test_dyn_m_rung_form_is_bit_exact():
     v = jnp.asarray((i + dv).astype(np.float32))
     ref = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh,
                                               kv, wb=128,
-                                              interpret=True)
+                                              interpret=True,
+                                              mpair=False)
     got = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh,
                                               kv, wb=128,
                                               interpret=True,
-                                              dyn_m=True)
+                                              dyn_m=True, mpair=False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -305,10 +306,10 @@ def test_dyn_m_ftbb_is_bit_exact():
     args = (fgP, bgP, pred, jnp.asarray(uf), jnp.asarray(vf), pad)
     ref = pallas_render.render_mid_fused_blend(
         *args, cap=CAP, row_block=RB, kh_max=kh, kv_max=kv,
-        interpret=True, dyn_m=False)
+        interpret=True, dyn_m=False, mpair=False, kpair=False)
     got = pallas_render.render_mid_fused_blend(
         *args, cap=CAP, row_block=RB, kh_max=kh, kv_max=kv,
-        interpret=True, dyn_m=True)
+        interpret=True, dyn_m=True, mpair=False, kpair=False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -360,3 +361,55 @@ def test_mpair_rung_form_matches_cascade():
         kv_max=kv, interpret=True, mpair=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=0, atol=1e-5)
+
+
+def test_kpair_rung_form_matches_cascade():
+    """kpair (perf_flags): two horizontal rungs per k-loop iteration
+    from two rolled bands offset by one rung. A pair rung outside
+    [klo-1, khi] carries an exactly-zero mask; the in-pair (and, with
+    mpair, in-quad) products add before the accumulator (f32
+    association), so the gate is allclose at ladder exactness."""
+    Hc, Wc, Pc, CAP, RB = 96, 256, 8, 16, 32
+    rng = np.random.RandomState(12)
+    rgba = jnp.asarray(np.asarray(rng.rand(Hc, Wc, Pc, 4), np.float32))
+    kh, kv = pallas_render.default_bounds(Hc, Wc, CAP)
+    lay = pallas_render.prepare_layers(rgba, CAP, RB, kv)
+    hm = Hc - 2 * CAP
+    j = np.arange(Wc)[None, None, :]
+    i = np.arange(hm)[None, :, None] + CAP
+    du = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    dv = (rng.rand(Pc, hm, Wc) - 0.5) * 6
+    u = jnp.asarray(((Wc - 1) - j - du).astype(np.float32))
+    v = jnp.asarray((i + dv).astype(np.float32))
+    ref = pallas_render._ladder_render_mid_uv(lay, u, v, CAP, RB, kh,
+                                              kv, wb=128,
+                                              interpret=True,
+                                              mpair=False, kpair=False)
+    for mp in (False, True):
+        got = pallas_render._ladder_render_mid_uv(
+            lay, u, v, CAP, RB, kh, kv, wb=128, interpret=True,
+            mpair=mp, kpair=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    # ftbb form
+    _, _, pad = pallas_render._band_geometry(CAP, RB, kv)
+    fgP = jnp.asarray(np.asarray(
+        rng.rand(Pc, 3, Hc + 2 * pad, Wc), np.float32))
+    bgP = jnp.asarray(np.asarray(
+        rng.rand(Pc, 3, Hc + 2 * pad, Wc), np.float32))
+    pred = jnp.asarray(np.asarray(
+        rng.rand(Hc, 2 * Pc, Wc) * 2 - 1, np.float32))
+    uf = jnp.asarray(np.pad(np.asarray(u), ((0, 0), (CAP, CAP), (0, 0)),
+                            mode="edge"))
+    vf = jnp.asarray(np.pad(np.asarray(v), ((0, 0), (CAP, CAP), (0, 0)),
+                            mode="edge"))
+    a = pallas_render.render_mid_fused_blend(
+        fgP, bgP, pred, uf, vf, pad, cap=CAP, row_block=RB, kh_max=kh,
+        kv_max=kv, interpret=True, mpair=False, kpair=False)
+    for mp in (False, True):
+        b = pallas_render.render_mid_fused_blend(
+            fgP, bgP, pred, uf, vf, pad, cap=CAP, row_block=RB,
+            kh_max=kh, kv_max=kv, interpret=True, mpair=mp, kpair=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-5)
