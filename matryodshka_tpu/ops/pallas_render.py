@@ -1490,17 +1490,22 @@ def render_mid_fused_blend(fgP: Array, bgP: Array, pred: Array,
     kv_max = geom["kv_max"] if kv_max is None else kv_max
     if wb == "auto":
         wb = default_wb(w)
+    vtap = DEFAULT_VTAP if vtap is None else vtap
+    dyn_m = DEFAULT_DYN_M if dyn_m is None else dyn_m
+    kpair = DEFAULT_KPAIR if kpair is None else kpair
+    if vtap or dyn_m:
+        kpair = False       # alternative rung forms take precedence
     return _ladder_render_mid_ftbb(
         fgP, bgP, pred,
         u[:, cap:h - cap].astype(jnp.float32),
         v[:, cap:h - cap].astype(jnp.float32),
         cap, row_block, kh_max, kv_max, wb=wb, eps=FTB_EPS,
         vpad=vpad, depth=depth, interpret=interpret,
-        vtap=DEFAULT_VTAP if vtap is None else vtap,
+        vtap=vtap,
         roll16=DEFAULT_ROLL16 if roll16 is None else roll16,
-        dyn_m=DEFAULT_DYN_M if dyn_m is None else dyn_m,
+        dyn_m=dyn_m,
         mpair=DEFAULT_MPAIR if mpair is None else mpair,
-        kpair=DEFAULT_KPAIR if kpair is None else kpair)
+        kpair=kpair)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "row_block", "kh_max",
@@ -1783,6 +1788,25 @@ def prepared_geometry(h: int, w: int, cap: int = CAP_ROWS,
             "kv_max": kv, "pad": pad}
 
 
+def narrow_bounds(h: int, w: int, cap: int = CAP_ROWS):
+    """The TIGHT second tier of the pose-adaptive ladder dispatch.
+
+    kv=7 is the largest vertical bound whose band keeps an 8-row lead
+    (band_lead jumps 8 -> 16 at kv=8), so the narrow kernel's rolled
+    band is 48 rows instead of default_bounds' 58-64 at 640x320 — a
+    measured 4.09 -> 3.55 ms FTBB win (tools/exp_kv7.py, bit-exact
+    in-contract). Poses whose residuals exceed it (|t| ~> 0.058 at
+    640 wide) take the default-bounds kernel, then the gather path —
+    geometry/render.py's lax.cond chain. Returns (kh, kv) or None when
+    default_bounds is already that narrow."""
+    _, dkv = default_bounds(h, w, cap)
+    if dkv <= 7:
+        return None
+    import math
+    amp = 1.0 / math.sin((cap + 0.5) * math.pi / h)
+    return int(math.ceil(7 * amp)) + 2, 7
+
+
 def default_wb(w: int):
     """Column-tile width for the hybrid FMA predication (None = plain
     full-width kernel). 128-lane tiles measured strictly faster at
@@ -1807,7 +1831,8 @@ FTB_EPS = 1e-6
 # a typo in the arming pipeline and must fail LOUDLY — a silently
 # ignored key would leave a measured-winning kernel disarmed.
 PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap",
-                              "roll16", "dyn_m", "mpair", "kpair"})
+                              "roll16", "dyn_m", "mpair", "kpair",
+                              "sdyn"})
 
 
 def _read_perf_flags(path=None):
@@ -1943,11 +1968,14 @@ def render_mid_prepared_cf(prepared: Array, u: Array, v: Array,
         wb = default_wb(w)
     ftb = DEFAULT_FTB if ftb is None else ftb
     fn = _ladder_render_mid_ftb if ftb else _ladder_render_mid_uv
+    vt = DEFAULT_VTAP if vtap is None else vtap
     kw = ({"eps": FTB_EPS} if ftb
-          else {"vtap": DEFAULT_VTAP if vtap is None else vtap,
+          else {"vtap": vt,
                 "roll16": DEFAULT_ROLL16 if roll16 is None else roll16,
                 "dyn_m": DEFAULT_DYN_M, "mpair": DEFAULT_MPAIR,
-                "kpair": DEFAULT_KPAIR})
+                # alternative rung forms take precedence over kpair
+                "kpair": (DEFAULT_KPAIR and not vt
+                          and not DEFAULT_DYN_M)})
     return fn(prepared,
               u[:, cap:h - cap].astype(jnp.float32),
               v[:, cap:h - cap].astype(jnp.float32),

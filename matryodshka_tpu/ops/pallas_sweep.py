@@ -188,6 +188,37 @@ def _circ_shift_left_rows(x, s_vec, width: int):
     return x
 
 
+def _shift_decompose(shift, valid, n_blocks: int, row_block: int,
+                     width: int):
+    """Per-(plane, block) base + per-row residual for the sdyn barrel.
+
+    The full barrel pays ceil(log2 W) roll+select passes per block; but
+    u0 varies SMOOTHLY with latitude, so within a 32-row block the
+    per-row shifts cluster. Decompose shift = (base + ds) mod W with
+    one CIRCULAR per-block base (computed relative to the block's first
+    valid row, so a wrap inside the block stays a small residual) and
+    ds >= 0 small; invalid rows (park-selected downstream anyway) take
+    ds = 0 so they never widen the residual. Returns (base [NP, NBLK]
+    int32, ds [NP, H] int32, mask [NP, NBLK] int32 bit-OR of ds).
+    """
+    npl = shift.shape[0]
+    sblk = shift.reshape(npl, n_blocks, row_block)
+    vblk = valid.reshape(npl, n_blocks, row_block) > 0
+    anchor = sblk[:, :, :1]                     # block's first row
+    rel = jnp.mod(sblk - anchor, width)
+    # re-center: residuals past W/2 are negative offsets from anchor
+    rel = rel - width * (rel > width // 2).astype(rel.dtype)
+    big = jnp.int32(1 << 20)
+    rel_v = jnp.where(vblk, rel, big)
+    rmin = jnp.min(rel_v, axis=2)
+    rmin = jnp.where(rmin == big, 0, rmin)      # all-invalid block
+    base = jnp.mod(anchor[:, :, 0] + rmin, width)
+    ds = jnp.where(vblk, rel - rmin[:, :, None], 0).astype(jnp.int32)
+    mask = jax.lax.reduce(ds, jnp.int32(0), jax.lax.bitwise_or, [2])
+    return (base.astype(jnp.int32), ds.reshape(npl, -1),
+            mask.astype(jnp.int32))
+
+
 def _row_block(height: int) -> int:
     """Largest row-block size (vector-op batch) dividing the height."""
     for blk in (32, 16, 8):
@@ -196,12 +227,11 @@ def _row_block(height: int) -> int:
     return 1
 
 
-def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
-                  shiftv_ref, fxv_ref, validv_ref,
-                  img_ref, park_ref, out_ref, band_ref, vb_ref, *,
+def _sweep_kernel(fast_ref, *rest,
                   height: int, width: int, row_block: int,
                   tap2_roll: int = 1, out_row0: int = 0,
-                  kvs: int = _KVS, vpad: int = _VPAD):
+                  kvs: int = _KVS, vpad: int = _VPAD,
+                  dynshift: bool = False):
     """Grid: (NP,) — one program per (eye-)plane. img_ref block:
     [1, C, H + 2*_VPAD, W] wrap-padded source for THIS program's eye
     (the dual-eye call stacks both images and index-maps i // P);
@@ -224,7 +254,23 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
     (A 128-aligned dynamic slice + short barrel measured no faster than
     the plain barrel per-row; block vectorization is the win. See
     tests/test_pallas_sweep.py::test_aligned_shift_bit_exact.)
+
+    dynshift (perf_flags "sdyn"): shiftv_ref carries the per-row
+    RESIDUAL ds of the per-block decomposition shift = base + ds
+    (sbase/smask SMEM operands prepended): one dynamic-shift lane
+    rotate applies the block base, then only the residual's barrel
+    bit-passes with a set bit in the block's mask run — u0 clusters
+    tightly within a block, so most of the ceil(log2 W) passes are
+    runtime-skipped.
     """
+    if dynshift:
+        (sbase_ref, smask_ref, y0_ref, y1_ref, fy_ref, dyv_ref,
+         fyv_ref, shiftv_ref, fxv_ref, validv_ref,
+         img_ref, park_ref, out_ref, band_ref, vb_ref) = rest
+    else:
+        (y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
+         shiftv_ref, fxv_ref, validv_ref,
+         img_ref, park_ref, out_ref, band_ref, vb_ref) = rest
     c = img_ref.shape[1]
     pid = pl.program_id(0)
     n_blocks = height // row_block
@@ -279,7 +325,27 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
             jax.lax.fori_loop(0, row_block, fill_row, 0)
 
         block = vb_ref[:, :, :]                               # [C, RB, W]
-        out_a = _circ_shift_left_rows(block, s_vec[None], width)
+        if dynshift:
+            base_s = sbase_ref[pid, blk]
+            mask = smask_ref[pid, blk]
+            # band_ref doubles as the shift workspace: the ladder (fast
+            # path) is done with the source band by now and the slow
+            # path never fills it.
+            band_ref[:, 0:row_block, :] = pltpu.roll(
+                block, jnp.mod(width - base_s, width), axis=2)
+            nbits = max(1, (width - 1).bit_length())
+            for b in range(nbits):
+                @pl.when(((mask >> b) & 1) > 0)
+                def _(b=b):
+                    amt = 1 << b
+                    rolled = pltpu.roll(band_ref[:, 0:row_block, :],
+                                        (width - amt) % width, axis=2)
+                    bit = ((s_vec[None] >> b) & 1) > 0
+                    band_ref[:, 0:row_block, :] = jnp.where(
+                        bit, rolled, band_ref[:, 0:row_block, :])
+            out_a = band_ref[:, 0:row_block, :]
+        else:
+            out_a = _circ_shift_left_rows(block, s_vec[None], width)
         out_b = pltpu.roll(out_a, tap2_roll, axis=2)
         fxb = fx_vec[None]                                    # [1, RB, 1]
         out_rows = (1.0 - fxb) * out_a + fxb * out_b
@@ -296,17 +362,28 @@ def _sweep_kernel(fast_ref, y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
 from jax.experimental import pallas as pl             # noqa: E402
 from jax.experimental.pallas import tpu as pltpu      # noqa: E402
 
+#: per-block dynamic-base barrel in the sweep kernel (perf_flags
+#: "sdyn"): one dynamic-shift lane rotate applies each block's common
+#: shift, leaving only the small per-row residual's bit-passes (runtime
+#: gated per block). Backend-sensitive (tpu.dynamic_rotate lowering) —
+#: compile-probed by ops.perf_probe. The jitted entry points take it as
+#: a STATIC arg resolved by the non-jitted wrappers (module-global
+#: reads inside jit would bake import-time values into the trace cache).
+from matryodshka_tpu.ops.pallas_render import _PERF_FLAGS as _PF  # noqa: E402
+DEFAULT_SDYN = bool(_PF.get("sdyn", False))
+
 
 @functools.partial(jax.jit,
                    static_argnames=("order", "height", "width",
                                     "out_dtype", "interpret", "flip_out",
-                                    "raw_layout"))
+                                    "raw_layout", "dynshift"))
 def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
                            intrinsics: Array, height: int, width: int,
                            out_dtype=jnp.float32,
                            interpret: bool = False,
                            flip_out: bool = False,
-                           raw_layout: bool = False) -> Array:
+                           raw_layout: bool = False,
+                           dynshift: bool = False) -> Array:
     """One eye's sweep: image [H, W, C] -> [P, H, W, C] (out_dtype;
     bf16 halves the volume's HBM traffic — the kernel computes f32 and
     converts at the output write).
@@ -337,7 +414,8 @@ def _ods_sweep_plane_stack(image: Array, order: int, depths: Array,
     out = _sweep_call(img_padded[None], park_row[None], params,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=flip_out,
-                      interpret=interpret, kvs=kvs, vpad=vpad)
+                      interpret=interpret, kvs=kvs, vpad=vpad,
+                      dynshift=dynshift)
     if raw_layout:
         return out                                    # [P, C, H, W]
     return jnp.transpose(out, (0, 2, 3, 1))           # [P, H, W, C]
@@ -347,7 +425,8 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                 p_per_eye: int, height: int, width: int, out_dtype,
                 flip_out: bool, interpret: bool,
                 out_row_pad: int = 0,
-                kvs: int = _KVS, vpad: int = _VPAD) -> Array:
+                kvs: int = _KVS, vpad: int = _VPAD,
+                dynshift: bool = None) -> Array:
     """Shared pallas_call: imgs_padded [NE, C, H+2*_VPAD, W] (one image
     per eye), parks [NE, C, 1, W], params dict of [NE*P, ...] arrays.
     Grid (NE*P,); program i uses image i // p_per_eye. Returns
@@ -372,13 +451,26 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
     pp = p_per_eye
     assert out_row_pad % 8 == 0, out_row_pad
     hout = height + 2 * out_row_pad
+    if dynshift is None:
+        dynshift = DEFAULT_SDYN
+    if dynshift:
+        sbase, ds, smask = _shift_decompose(
+            params["shift"], params["valid"], n_blocks, row_block, width)
+        shift_op = ds[..., None]
+        extra_ops = [sbase, smask]
+        extra_specs = [smem(), smem()]
+    else:
+        shift_op = params["shift"][..., None]
+        extra_ops = []
+        extra_specs = []
     return pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block,
                           tap2_roll=(width - 1) if flip_out else 1,
-                          out_row0=out_row_pad, kvs=kvs, vpad=vpad),
+                          out_row0=out_row_pad, kvs=kvs, vpad=vpad,
+                          dynshift=dynshift),
         grid=(np_total,),
-        in_specs=[smem(), smem(), smem(), smem(),
+        in_specs=[smem()] + extra_specs + [smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
                   vmem_vec(),
                   pl.BlockSpec((1, c, height + 2 * vpad, width),
@@ -400,22 +492,24 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(fast, params["y0"], params["y1"], params["fy"],
+    )(fast, *extra_ops, params["y0"], params["y1"], params["fy"],
       params["dy"][..., None], params["fy"][..., None],
-      params["shift"][..., None], params["fx"][..., None],
+      shift_op, params["fx"][..., None],
       params["valid"][..., None],
       imgs_padded, parks.astype(jnp.float32))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "out_dtype",
-                                    "interpret", "out_row_pad"))
+                                    "interpret", "out_row_pad",
+                                    "dynshift"))
 def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
                           depths: Array, intrinsics: Array,
                           height: int, width: int,
                           out_dtype=jnp.float32,
                           interpret: bool = False,
-                          out_row_pad: int = 0):
+                          out_row_pad: int = 0,
+                          dynshift: bool = False):
     """Both eyes in ONE pallas_call (grid 2P): halves the dispatch and
     per-call fixed cost vs two single-eye sweeps. Emits the FLIPPED
     render-native volumes. Returns (fgF, bgF) each [P, C, H, W] (or
@@ -440,7 +534,7 @@ def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=True,
                       interpret=interpret, out_row_pad=out_row_pad,
-                      kvs=kvs, vpad=vpad)
+                      kvs=kvs, vpad=vpad, dynshift=dynshift)
     return out[:p], out[p:]
 
 
@@ -466,7 +560,8 @@ def ods_sweep_identity_prepared(ref_image: Array, src_image: Array,
         fv, gv = _ods_sweep_dual_stack(ref_image[i], src_image[i],
                                        depths, intrinsics[i], h, w,
                                        out_dtype=out_dtype,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       dynshift=DEFAULT_SDYN)
 
         def _net_layout(vol):
             un = jnp.flip(vol, axis=3)                 # [P, C, H, W]
@@ -507,7 +602,8 @@ def ods_sweep_identity_planar(ref_image: Array, src_image: Array,
                                        depths, intrinsics[i], h, w,
                                        out_dtype=out_dtype,
                                        interpret=interpret,
-                                       out_row_pad=NET_ROW_PAD)
+                                       out_row_pad=NET_ROW_PAD,
+                                       dynshift=DEFAULT_SDYN)
         fgs.append(fv)
         bgs.append(gv)
     return jnp.stack(fgs), jnp.stack(bgs)
@@ -593,7 +689,7 @@ def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,
                                   height=chunk_rows, width=w,
                                   out_dtype=out_dtype, flip_out=True,
                                   interpret=interpret, kvs=kvs,
-                                  vpad=vpad)
+                                  vpad=vpad, dynshift=DEFAULT_SDYN)
                 return out[:p], out[p:]
 
             def gather_branch(band, pchunk, r0=r0):
@@ -624,6 +720,7 @@ def ods_sweep_identity(image: Array, order: int, depths: Array,
         vol = _ods_sweep_plane_stack(image[i], order, depths,
                                      intrinsics[i], h, w,
                                      out_dtype=out_dtype,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     dynshift=DEFAULT_SDYN)
         outs.append(jnp.transpose(vol, (1, 2, 0, 3)).reshape(h, w, p * c))
     return jnp.stack(outs)

@@ -37,7 +37,7 @@ from matryodshka_tpu.ops import pallas_net, pallas_render
 
 #: flags ensure_armed() probes; everything else in PERF_FLAG_SCHEMA is
 #: a measured A/B result that re-arming must not clobber.
-COMPILE_SENSITIVE = ("net_x2", "roll16")
+COMPILE_SENSITIVE = ("net_x2", "roll16", "sdyn")
 
 
 def backend_fingerprint() -> str:
@@ -103,6 +103,27 @@ def _probe_roll16(height: int, width: int, psv_planes: int) -> bool:
         return False
 
 
+def _probe_sdyn(height: int, width: int, psv_planes: int) -> bool:
+    """Compile (and run once) the dual-eye sweep kernel with the
+    dynamic-base barrel (tpu.dynamic_rotate lowering is the
+    backend-sensitive piece). Its win is structural — ~10 barrel
+    passes collapse to 1 dynamic rotate + the residual's live bits —
+    so compile success is the arming decision (measured A/B:
+    tools/exp_sdyn.py)."""
+    from matryodshka_tpu.ops import pallas_sweep
+    img = jnp.zeros((height, width, 3), jnp.float32)
+    depths = jnp.linspace(100.0, 1.0, psv_planes)
+    intr = jnp.asarray([[0.032, 0, 0], [0, 1, 0], [0, 0, 1]])
+    try:
+        jax.block_until_ready(pallas_sweep._ods_sweep_dual_stack(
+            img, img, depths, intr, height, width,
+            out_dtype=jnp.bfloat16, out_row_pad=pallas_sweep.NET_ROW_PAD,
+            dynshift=True))
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _probe_dyn_m(height: int, width: int, psv_planes: int) -> bool:
     """Compile the tiled ladder with the runtime-sized vertical-tap
     loop (dynamic sublane band slices are the backend-sensitive
@@ -142,6 +163,8 @@ def _refresh_module_globals(flags: dict) -> None:
     pallas_render.DEFAULT_DYN_M = bool(flags.get("dyn_m", False))
     pallas_render.DEFAULT_MPAIR = bool(flags.get("mpair", False))
     pallas_render.DEFAULT_KPAIR = bool(flags.get("kpair", False))
+    from matryodshka_tpu.ops import pallas_sweep
+    pallas_sweep.DEFAULT_SDYN = bool(flags.get("sdyn", False))
 
 
 def ensure_armed(fused_net=None, height: int = 320, width: int = 640,
@@ -175,6 +198,9 @@ def ensure_armed(fused_net=None, height: int = 320, width: int = 640,
     flags["roll16"] = _probe_roll16(height, width, psv_planes)
     _log(f"[perf_probe] roll16: "
          f"{'armed' if flags['roll16'] else 'rejected by backend'}")
+    flags["sdyn"] = _probe_sdyn(height, width, psv_planes)
+    _log(f"[perf_probe] sdyn: "
+         f"{'armed' if flags['sdyn'] else 'rejected by backend'}")
     # dyn_m is a measured A/B (the hardware session arms it), but its
     # dynamic sublane slices are also backend-sensitive: VALIDATE a
     # stored-true value on the new backend, disarm if rejected.

@@ -233,3 +233,35 @@ def test_chunked_sweep_hres_height_rides_kernel():
         # a mean envelope is pinnable there. Nearer shells are tight.
         assert err[0, 1:].max() < 5e-3, err[0, 1:].max()
         assert err[0, 0].mean() < 1e-3, err[0, 0].mean()
+
+
+def test_sdyn_dynamic_base_barrel_bit_exact():
+    """sdyn (perf_flags): per-block dynamic-base shift decomposition.
+    The barrel applies the identical total rotation (base + residual),
+    so the output must be BIT-equal to the full static barrel — both
+    the dual-eye planar path and a shape whose shifts wrap inside a
+    block."""
+    h, w, p = 32, 64, 6
+    rng = np.random.RandomState(7)
+    ref = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    src = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, p))
+    intr = jnp.asarray([[0.064, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                       dtype=jnp.float32)
+    a = pallas_sweep._ods_sweep_dual_stack(
+        ref, src, depths, intr, h, w, interpret=True, dynshift=False,
+        out_row_pad=pallas_sweep.NET_ROW_PAD)
+    b = pallas_sweep._ods_sweep_dual_stack(
+        ref, src, depths, intr, h, w, interpret=True, dynshift=True,
+        out_row_pad=pallas_sweep.NET_ROW_PAD)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    # near-circle shell: invalid rows + validity-boundary rows exercise
+    # the invalid-ds-zeroing and the slow path
+    depths2 = jnp.asarray([0.09, 1.0, 5.0])
+    a2 = pallas_sweep._ods_sweep_dual_stack(
+        ref, src, depths2, intr, h, w, interpret=True, dynshift=False)
+    b2 = pallas_sweep._ods_sweep_dual_stack(
+        ref, src, depths2, intr, h, w, interpret=True, dynshift=True)
+    for x, y in zip(a2, b2):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
