@@ -451,19 +451,33 @@ def infer_msi_prepared(apply_fn, params, cfg: MatryConfig,
         net_ops, ngf, k, flipped, net_variant = fused_net
         pad = pallas_sweep.NET_ROW_PAD
         assert pallas_net.X_ROW_PAD == pad
-        fgP, bgP = pallas_sweep.ods_sweep_identity_planar(
-            ref, src, psv_depths, batch["intrinsics"],
-            out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+        if pallas_sweep.DEFAULT_XRM and not interpret:
+            # perf_flags "xrm": the sweep kernel also emits the net's
+            # ROW-MAJOR x — the net's row-major window path (plain
+            # leading-dim rhs packing, double-buffered windows) without
+            # the XLA flip/transpose pass the unflipped route pays.
+            fgP, bgP, x_rm = pallas_sweep.ods_sweep_identity_planar_rm(
+                ref, src, psv_depths, batch["intrinsics"],
+                out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+            b = fgP.shape[0]
+            preds = [pallas_net.unet_forward(
+                x_rm[i], net_ops, ngf, k, interpret=interpret,
+                flipped=flipped, variant=net_variant)
+                for i in range(b)]
+        else:
+            fgP, bgP = pallas_sweep.ods_sweep_identity_planar(
+                ref, src, psv_depths, batch["intrinsics"],
+                out_dtype=cfg.jnp_compute_dtype, interpret=interpret)
+            b = fgP.shape[0]
+            preds = [pallas_net.unet_forward(
+                (fgP[i].reshape(-1, h + 2 * pad, w),
+                 bgP[i].reshape(-1, h + 2 * pad, w)),
+                net_ops, ngf, k, interpret=interpret, flipped=flipped,
+                variant=net_variant)
+                for i in range(b)]
         fgF = fgP[:, :, :, pad:pad + h]
         bgF = bgP[:, :, :, pad:pad + h]
-        b, p_, c_ = fgP.shape[0], fgP.shape[1], fgP.shape[2]
-        preds = []
-        for i in range(b):
-            preds.append(pallas_net.unet_forward(
-                (fgP[i].reshape(p_ * c_, h + 2 * pad, w),
-                 bgP[i].reshape(p_ * c_, h + 2 * pad, w)),
-                net_ops, ngf, k, interpret=interpret, flipped=flipped,
-                variant=net_variant))
+        p_, c_ = fgP.shape[1], fgP.shape[2]
         msi_pred = jnp.stack(preds)          # [B, H, K, W]
 
         def _nl(vol):                        # [P,C,H,W] -> [H,W,P*C]

@@ -1832,7 +1832,7 @@ FTB_EPS = 1e-6
 # ignored key would leave a measured-winning kernel disarmed.
 PERF_FLAG_SCHEMA = frozenset({"ftb", "ftbb", "net_x2", "vtap",
                               "roll16", "dyn_m", "mpair", "kpair",
-                              "sdyn"})
+                              "sdyn", "xrm"})
 
 
 def _read_perf_flags(path=None):

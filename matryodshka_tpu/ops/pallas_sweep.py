@@ -231,7 +231,8 @@ def _sweep_kernel(fast_ref, *rest,
                   height: int, width: int, row_block: int,
                   tap2_roll: int = 1, out_row0: int = 0,
                   kvs: int = _KVS, vpad: int = _VPAD,
-                  dynshift: bool = False):
+                  dynshift: bool = False,
+                  rowmajor_out: bool = False):
     """Grid: (NP,) — one program per (eye-)plane. img_ref block:
     [1, C, H + 2*_VPAD, W] wrap-padded source for THIS program's eye
     (the dual-eye call stacks both images and index-maps i // P);
@@ -263,14 +264,19 @@ def _sweep_kernel(fast_ref, *rest,
     tightly within a block, so most of the ceil(log2 W) passes are
     runtime-skipped.
     """
+    rest = list(rest)
     if dynshift:
-        (sbase_ref, smask_ref, y0_ref, y1_ref, fy_ref, dyv_ref,
-         fyv_ref, shiftv_ref, fxv_ref, validv_ref,
-         img_ref, park_ref, out_ref, band_ref, vb_ref) = rest
+        sbase_ref, smask_ref = rest[:2]
+        rest = rest[2:]
+    (y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
+     shiftv_ref, fxv_ref, validv_ref, img_ref, park_ref) = rest[:10]
+    rest = rest[10:]
+    if rowmajor_out:
+        # second output: the net kernel's row-major x [H, NP*C, W] —
+        # program i owns channel block [i*C, (i+1)*C)
+        out_ref, out2_ref, band_ref, vb_ref = rest
     else:
-        (y0_ref, y1_ref, fy_ref, dyv_ref, fyv_ref,
-         shiftv_ref, fxv_ref, validv_ref,
-         img_ref, park_ref, out_ref, band_ref, vb_ref) = rest
+        out_ref, band_ref, vb_ref = rest
     c = img_ref.shape[1]
     pid = pl.program_id(0)
     n_blocks = height // row_block
@@ -353,6 +359,9 @@ def _sweep_kernel(fast_ref, *rest,
                              park_ref[0, :, :, :])
         out_ref[0, :, pl.ds(base + out_row0, row_block), :] = out_rows.astype(
             out_ref.dtype)
+        if rowmajor_out:
+            out2_ref[pl.ds(base, row_block), :, :] = jnp.transpose(
+                out_rows, (1, 0, 2)).astype(out2_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block_body, 0)
@@ -371,6 +380,13 @@ from jax.experimental.pallas import tpu as pltpu      # noqa: E402
 #: reads inside jit would bake import-time values into the trace cache).
 from matryodshka_tpu.ops.pallas_render import _PERF_FLAGS as _PF  # noqa: E402
 DEFAULT_SDYN = bool(_PF.get("sdyn", False))
+#: sweep kernel additionally emits the net's ROW-MAJOR x [H, 2P*C, W]
+#: (perf_flags "xrm"): the whole-net kernel's row-major window path
+#: measured faster than the channels-major planar window (r3: 4.30 vs
+#: 4.73 ms) but previously cost a 0.75 ms XLA layout pass — the second
+#: kernel output removes that trade (one extra in-kernel transposed
+#: store + HBM write per block). Measured A/B: tools/exp_xrm.py.
+DEFAULT_XRM = bool(_PF.get("xrm", False))
 
 
 @functools.partial(jax.jit,
@@ -426,7 +442,8 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                 flip_out: bool, interpret: bool,
                 out_row_pad: int = 0,
                 kvs: int = _KVS, vpad: int = _VPAD,
-                dynshift: bool = None) -> Array:
+                dynshift: bool = None,
+                rowmajor_out: bool = False) -> Array:
     """Shared pallas_call: imgs_padded [NE, C, H+2*_VPAD, W] (one image
     per eye), parks [NE, C, 1, W], params dict of [NE*P, ...] arrays.
     Grid (NE*P,); program i uses image i // p_per_eye. Returns
@@ -463,12 +480,25 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
         shift_op = params["shift"][..., None]
         extra_ops = []
         extra_specs = []
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec((1, c, hout, width),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((np_total, c, hout, width),
+                                     out_dtype)
+    if rowmajor_out:
+        out_specs = [out_specs,
+                     pl.BlockSpec((height, c, width),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((height, np_total * c, width),
+                                          out_dtype)]
+    out = pl.pallas_call(
         functools.partial(_sweep_kernel, height=height, width=width,
                           row_block=row_block,
                           tap2_roll=(width - 1) if flip_out else 1,
                           out_row0=out_row_pad, kvs=kvs, vpad=vpad,
-                          dynshift=dynshift),
+                          dynshift=dynshift, rowmajor_out=rowmajor_out),
         grid=(np_total,),
         in_specs=[smem()] + extra_specs + [smem(), smem(), smem(),
                   vmem_vec(), vmem_vec(), vmem_vec(), vmem_vec(),
@@ -479,11 +509,8 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
                   pl.BlockSpec((1, c, 1, width),
                                lambda i: (i // pp, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, c, hout, width),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_total, c, hout, width),
-                                       out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((c, row_block + 2 * vpad, width),
                                    jnp.float32),
                         pltpu.VMEM((c, row_block, width), jnp.float32)],
@@ -497,19 +524,21 @@ def _sweep_call(imgs_padded: Array, parks: Array, params: dict,
       shift_op, params["fx"][..., None],
       params["valid"][..., None],
       imgs_padded, parks.astype(jnp.float32))
+    return out
 
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "out_dtype",
                                     "interpret", "out_row_pad",
-                                    "dynshift"))
+                                    "dynshift", "rowmajor_out"))
 def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
                           depths: Array, intrinsics: Array,
                           height: int, width: int,
                           out_dtype=jnp.float32,
                           interpret: bool = False,
                           out_row_pad: int = 0,
-                          dynshift: bool = False):
+                          dynshift: bool = False,
+                          rowmajor_out: bool = False):
     """Both eyes in ONE pallas_call (grid 2P): halves the dispatch and
     per-call fixed cost vs two single-eye sweeps. Emits the FLIPPED
     render-native volumes. Returns (fgF, bgF) each [P, C, H, W] (or
@@ -534,7 +563,11 @@ def _ods_sweep_dual_stack(ref_image: Array, src_image: Array,
                       p_per_eye=p, height=height, width=width,
                       out_dtype=out_dtype, flip_out=True,
                       interpret=interpret, out_row_pad=out_row_pad,
-                      kvs=kvs, vpad=vpad, dynshift=dynshift)
+                      kvs=kvs, vpad=vpad, dynshift=dynshift,
+                      rowmajor_out=rowmajor_out)
+    if rowmajor_out:
+        vol, xrm = out
+        return vol[:p], vol[p:], xrm
     return out[:p], out[p:]
 
 
@@ -607,6 +640,30 @@ def ods_sweep_identity_planar(ref_image: Array, src_image: Array,
         fgs.append(fv)
         bgs.append(gv)
     return jnp.stack(fgs), jnp.stack(bgs)
+
+
+def ods_sweep_identity_planar_rm(ref_image: Array, src_image: Array,
+                                 depths: Array, intrinsics: Array,
+                                 out_dtype=jnp.float32,
+                                 interpret: bool = False):
+    """Like ods_sweep_identity_planar but ALSO returns the net kernel's
+    row-major x: (fgP, bgP, x_rm) with fgP/bgP [B, P, C, H + 2*pad, W]
+    and x_rm [B, H, 2*P*C, W] (flipped, channel order ref planes then
+    src — the format_network_input concat order)."""
+    b, h, w, c = ref_image.shape
+    fgs, bgs, xs = [], [], []
+    for i in range(b):
+        fv, gv, xr = _ods_sweep_dual_stack(ref_image[i], src_image[i],
+                                           depths, intrinsics[i], h, w,
+                                           out_dtype=out_dtype,
+                                           interpret=interpret,
+                                           out_row_pad=NET_ROW_PAD,
+                                           dynshift=DEFAULT_SDYN,
+                                           rowmajor_out=True)
+        fgs.append(fv)
+        bgs.append(gv)
+        xs.append(xr)
+    return jnp.stack(fgs), jnp.stack(bgs), jnp.stack(xs)
 
 
 def ods_sweep_identity_chunked(ref_image: Array, src_image: Array,

@@ -165,6 +165,7 @@ def _refresh_module_globals(flags: dict) -> None:
     pallas_render.DEFAULT_KPAIR = bool(flags.get("kpair", False))
     from matryodshka_tpu.ops import pallas_sweep
     pallas_sweep.DEFAULT_SDYN = bool(flags.get("sdyn", False))
+    pallas_sweep.DEFAULT_XRM = bool(flags.get("xrm", False))
 
 
 def ensure_armed(fused_net=None, height: int = 320, width: int = 640,

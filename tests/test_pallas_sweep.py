@@ -265,3 +265,24 @@ def test_sdyn_dynamic_base_barrel_bit_exact():
         ref, src, depths2, intr, h, w, interpret=True, dynshift=True)
     for x, y in zip(a2, b2):
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_rowmajor_out_matches_planar_layout():
+    """xrm (perf_flags): the sweep kernel's second output must equal the
+    row-major layout transform of the planar volumes (flip-free: both
+    are already flipped): x_rm == transpose(concat(fg, bg).reshape
+    (2P*C, H, W), (1, 0, 2))."""
+    h, w, p = 32, 64, 6
+    rng = np.random.RandomState(8)
+    ref = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    src = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    depths = jnp.asarray(sweep_lib.inv_depths(1.0, 100.0, p))
+    intr = jnp.asarray([[0.064, 0, 0], [0, 1, 0], [0, 0, 1.0]],
+                       dtype=jnp.float32)
+    pad = pallas_sweep.NET_ROW_PAD
+    fg, bg, xrm = pallas_sweep._ods_sweep_dual_stack(
+        ref, src, depths, intr, h, w, interpret=True,
+        out_row_pad=pad, rowmajor_out=True)
+    vol = jnp.concatenate([fg, bg], axis=0)[:, :, pad:pad + h]
+    want = jnp.transpose(vol.reshape(-1, h, w), (1, 0, 2))
+    np.testing.assert_array_equal(np.asarray(xrm), np.asarray(want))
